@@ -1,0 +1,195 @@
+"""Typed configuration tree with named presets.
+
+The reference scatters argparse flags across per-script entry points (SURVEY.md
+§6 "Config / flag system"); here a single dataclass tree covers
+data/preprocess/model/train/mesh, and every BASELINE.json config (1-5) is a
+named preset. CLI scripts apply ``key=value`` dotted overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any
+
+
+@dataclass
+class PreprocessConfig:
+    """Video -> mouth-ROI preprocessing (ref: dlib/OpenCV stages, BASELINE.json:5)."""
+
+    roi_size: int = 96            # output ROI is roi_size x roi_size grayscale
+    roi_margin: float = 0.30      # mouth bbox expansion factor before square-crop
+    normalize_mean: float = 0.421  # gray in [0,1] -> (x - mean) / std
+    normalize_std: float = 0.165
+    detector_input: int = 64      # face detector input resolution (square)
+    ert_cascades: int = 10        # ERT landmark cascade stages
+    ert_trees: int = 96           # boosted trees per cascade (parallel-friendly)
+    ert_depth: int = 4            # split depth per tree (2^d leaves)
+    ert_pool: int = 128           # candidate feature pixels per cascade
+
+
+@dataclass
+class DataConfig:
+    fps: float = 25.0
+    frame_height: int = 160
+    frame_width: int = 160
+    frames_per_char: int = 4      # synthetic fixture speech rate
+    max_frames: int = 128         # T bucket ceiling (static-shape padding)
+    max_chars: int = 40           # L bucket ceiling incl. sos/eos
+    time_buckets: tuple[int, ...] = (32, 64, 96, 128)
+    batch_size: int = 8
+
+
+@dataclass
+class ModelConfig:
+    # 3D-CNN visual frontend (ref: LCANet-style Conv3d stack, SURVEY.md §3)
+    frontend_channels: tuple[int, ...] = (32, 64, 96)
+    frontend_dim: int = 256       # feature dim fed to the encoder
+    highway_layers: int = 2
+    # bi-GRU encoder (ref: nn.GRU bidirectional)
+    gru_hidden: int = 256
+    gru_layers: int = 2
+    # attention decoder (ref: AttnDecoder-style GRU + Bahdanau)
+    attn_dim: int = 128
+    decoder_hidden: int = 256
+    # transformer encoder-decoder (ref: nn.Transformer-style path)
+    tf_layers: int = 4
+    tf_dec_layers: int = 4
+    tf_dim: int = 256
+    tf_heads: int = 4
+    tf_mlp: int = 1024
+    dropout: float = 0.1
+    vocab_size: int = 31
+    dtype: str = "bfloat16"       # activation dtype on TPU; params stay fp32
+
+
+@dataclass
+class TrainConfig:
+    seed: int = 0
+    learning_rate: float = 3e-4
+    warmup_steps: int = 200
+    total_steps: int = 5000
+    weight_decay: float = 1e-4
+    grad_clip: float = 5.0
+    teacher_forcing: float = 1.0
+    ctc_weight: float = 1.0       # hybrid CTC/attention loss mix
+    att_weight: float = 0.0
+    checkpoint_every: int = 500
+    eval_every: int = 500
+    log_every: int = 50
+    beam_width: int = 8
+    max_decode_len: int = 48
+    remat: bool = False           # jax.checkpoint the frontend to save HBM
+
+
+@dataclass
+class MeshConfig:
+    """DP-over-ICI mesh (BASELINE config 5). Axes beyond 'data' are plumbed
+    through so tensor-parallel sharding of the transformer can be enabled
+    without code changes (SURVEY.md §3 parallelism table)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = -1       # -1: use all devices
+    model_parallel: int = 1
+
+
+@dataclass
+class Config:
+    name: str = "default"
+    data: DataConfig = field(default_factory=DataConfig)
+    preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    encoder: str = "bigru"        # "bigru" | "transformer"
+    decoder: str = "ctc"          # "ctc" | "attention" | "hybrid"
+
+    def override(self, **dotted: Any) -> "Config":
+        """Apply dotted-path overrides, e.g. ``override(**{"train.seed": 3})``."""
+        cfg = dataclasses.replace(self)
+        for key, value in dotted.items():
+            parts = key.split(".")
+            obj = cfg
+            for p in parts[:-1]:
+                child = dataclasses.replace(getattr(obj, p))
+                setattr(obj, p, child)
+                obj = child
+            leaf = parts[-1]
+            if not hasattr(obj, leaf):
+                raise KeyError(f"no config field {key!r}")
+            cur = getattr(obj, leaf)
+            if cur is not None and not isinstance(value, type(cur)):
+                value = _coerce(value, cur)
+            setattr(obj, leaf, value)
+        return cfg
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def _coerce(value: Any, like: Any) -> Any:
+    t = type(like)
+    if t is bool:
+        return str(value).lower() in ("1", "true", "yes")
+    if t is tuple:
+        items = str(value).strip("()[] ").split(",")
+        elem = type(like[0]) if like else int
+        return tuple(elem(i) for i in items if i.strip())
+    return t(value)
+
+
+def parse_overrides(argv: list[str]) -> dict[str, str]:
+    """['train.seed=3', ...] -> {'train.seed': '3', ...}"""
+    out = {}
+    for a in argv:
+        if "=" not in a:
+            raise ValueError(f"override must be key=value, got {a!r}")
+        k, v = a.split("=", 1)
+        out[k] = v
+    return out
+
+
+# --- Named presets: one per BASELINE.json config (the acceptance ladder) ---
+
+def preset(name: str) -> Config:
+    presets = {
+        # config 1: single-clip CPU oracle preprocess, deterministic dump
+        "oracle-single-clip": Config(name="oracle-single-clip"),
+        # config 2: batched fused preprocessing kernels, parity vs oracle
+        "preprocess-batched": Config(name="preprocess-batched"),
+        # config 3: 3D-CNN + bi-GRU + greedy CTC
+        "bigru-ctc": Config(name="bigru-ctc", encoder="bigru", decoder="ctc"),
+        # config 4: transformer enc-dec + attention + beam search
+        "transformer-attn": Config(
+            name="transformer-attn",
+            encoder="transformer",
+            decoder="hybrid",
+            train=TrainConfig(ctc_weight=0.3, att_weight=0.7),
+        ),
+        # config 5: end-to-end DP training over ICI on v5e-8
+        "dp-v5e8": Config(
+            name="dp-v5e8",
+            encoder="transformer",
+            decoder="hybrid",
+            data=DataConfig(batch_size=64),
+            train=TrainConfig(ctc_weight=0.3, att_weight=0.7),
+            mesh=MeshConfig(data_parallel=8),
+        ),
+    }
+    if name not in presets:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(presets)}")
+    return presets[name]
+
+
+def flatten(cfg: Any, prefix: str = "") -> dict[str, Any]:
+    """Dataclass tree -> flat dotted dict (for logging)."""
+    out: dict[str, Any] = {}
+    for f in fields(cfg):
+        v = getattr(cfg, f.name)
+        key = f"{prefix}{f.name}"
+        if is_dataclass(v):
+            out.update(flatten(v, key + "."))
+        else:
+            out[key] = v
+    return out

@@ -1,0 +1,99 @@
+"""Full batched video->ROI preprocessing on device (BASELINE configs 2 & 5).
+
+Replaces the reference's per-frame CPU hot loop (SURVEY.md §4.1) with ONE jit
+program over a whole frame stack:
+
+    frames [N, H, W, 3] u8 -> gray -> detect -> 68 landmarks -> mouth box
+                           -> fused crop/resize/normalize -> roi [N, 96, 96]
+
+Every stage is batched; the only host work left is video decode (SURVEY.md §8:
+ffmpeg/OpenCV stays host-side — there is no TPU video codec). This function is
+what the input pipeline fuses into training (BASELINE.json:5 "preprocessing
+kernels fused into the input pipeline so the TPU never stalls").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from lipreading_tpu.config import PreprocessConfig
+from lipreading_tpu.ops import detector as det_ops
+from lipreading_tpu.ops import ert as ert_ops
+from lipreading_tpu.ops import roi as roi_ops
+
+
+def mouth_boxes_from_landmarks(
+    landmarks: jnp.ndarray, margin: float, frame_h: int, frame_w: int
+) -> jnp.ndarray:
+    """[B, 68, 2] -> [B, 3] int32 square mouth boxes.
+
+    Same geometry + rounding as oracle mouth_box_from_landmarks + round_box.
+    """
+    pts = landmarks[:, 48:68, :].astype(jnp.float32)
+    mn = pts.min(axis=1)
+    mx = pts.max(axis=1)
+    c = (mn + mx) / 2.0
+    size = jnp.max(mx - mn, axis=1) * (1.0 + margin)
+    x0 = c[:, 0] - size / 2.0
+    y0 = c[:, 1] - size / 2.0
+    s = jnp.floor(size + 0.5).astype(jnp.int32)
+    s = jnp.clip(s, 2, min(frame_h, frame_w))
+    xi = jnp.clip(jnp.floor(x0 + 0.5).astype(jnp.int32), 0, frame_w - s)
+    yi = jnp.clip(jnp.floor(y0 + 0.5).astype(jnp.int32), 0, frame_h - s)
+    return jnp.stack([xi, yi, s], axis=1)
+
+
+def preprocess_frames(
+    det_params,
+    ert_model,
+    frames: jnp.ndarray,
+    cfg: PreprocessConfig | None = None,
+    return_aux: bool = False,
+):
+    """[N, H, W, 3] uint8 RGB -> [N, R, R] normalized float32 ROIs.
+
+    ``det_params``/``ert_model`` are jnp pytrees (ops.detector.params_to_jax /
+    ops.ert.model_to_jax). Jit-compatible; N/H/W static per compilation.
+    """
+    cfg = cfg or PreprocessConfig()
+    N, H, W, _ = frames.shape
+    gray = roi_ops.grayscale(frames)                          # [N, H, W]
+    face_boxes = det_ops.detect(det_params, gray)             # [N, 3] float
+    landmarks = ert_ops.predict_batch(ert_model, gray, face_boxes)
+    mboxes = mouth_boxes_from_landmarks(landmarks, cfg.roi_margin, H, W)
+    rois = roi_ops.sample_rois(
+        gray, mboxes, cfg.roi_size,
+        mean=cfg.normalize_mean, std=cfg.normalize_std,
+    )
+    if return_aux:
+        return rois, {
+            "face_boxes": face_boxes,
+            "landmarks": landmarks,
+            "mouth_boxes": mboxes,
+        }
+    return rois
+
+
+def make_preprocessor(det_params, ert_model, cfg: PreprocessConfig | None = None):
+    """Returns a jitted ``frames[N,H,W,3]u8 -> roi[N,R,R]f32`` closure."""
+    cfg = cfg or PreprocessConfig()
+
+    @jax.jit
+    def run(frames):
+        return preprocess_frames(det_params, ert_model, frames, cfg)
+
+    return run
+
+
+def preprocess_clips(det_params, ert_model, clips: jnp.ndarray,
+                     cfg: PreprocessConfig | None = None) -> jnp.ndarray:
+    """[B, T, H, W, 3] -> [B, T, R, R]: flatten time into batch, one program."""
+    cfg = cfg or PreprocessConfig()
+    B, T, H, W, C = clips.shape
+    rois = preprocess_frames(
+        det_params, ert_model, clips.reshape(B * T, H, W, C), cfg
+    )
+    return rois.reshape(B, T, cfg.roi_size, cfg.roi_size)

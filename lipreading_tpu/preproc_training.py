@@ -1,0 +1,180 @@
+"""Training for the preprocessing models (face detector + ERT landmarker).
+
+The reference downloads dlib's pretrained models; we must train our own
+replacements (SURVEY.md §8: dlib unavailable, zero egress). Both train on the
+synthetic fixture corpus whose boxes/landmarks are exact ground truth:
+
+* detector: the tiny conv localizer (ops/detector.py) trained with a
+  CenterNet-style objective — BCE on the center-cell heatmap + L2 on the
+  offset/size regressors at the true cell. JAX + optax, runs on TPU or CPU.
+* ERT: gradient boosting via oracle/ert_train.py (numpy, CPU).
+
+`train_all` writes the shared-weight asset files consumed by both the oracle
+and the device paths (assets/detector.npz, assets/ert.npz).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lipreading_tpu.config import DataConfig, PreprocessConfig
+from lipreading_tpu.fixtures import make_clips
+from lipreading_tpu.oracle import detector as odet
+from lipreading_tpu.oracle.ert_train import train_ert
+from lipreading_tpu.oracle.roi import grayscale
+from lipreading_tpu.ops import detector as ddet
+from lipreading_tpu.ops.roi import resize_frames
+
+ASSETS_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "assets")
+
+
+def _collect_frames(clips, stride=2):
+    """Fixture clips -> (gray [N,H,W], square boxes [N,3], landmarks [N,68,2])."""
+    imgs, boxes, lms = [], [], []
+    for c in clips:
+        for t in range(0, c.num_frames, stride):
+            imgs.append(grayscale(c.frames[t]))
+            x0, y0, w, h = c.boxes[t]
+            s = max(w, h)
+            boxes.append((x0 + w / 2 - s / 2, y0 + h / 2 - s / 2, s))
+            lms.append(c.landmarks[t])
+    return (
+        np.stack(imgs).astype(np.float32),
+        np.asarray(boxes, dtype=np.float32),
+        np.stack(lms).astype(np.float32),
+    )
+
+
+def detector_targets(boxes: np.ndarray, frame_h: int, frame_w: int):
+    """GT square boxes -> (cell_idx [N], offsets [N,2], log_size [N]).
+
+    Inverse of ops.detector.decode_boxes on the 8x8 grid of the 64px input.
+    """
+    sx, sy = frame_w / odet.INPUT, frame_h / odet.INPUT
+    cx64 = (boxes[:, 0] + boxes[:, 2] / 2) / sx
+    cy64 = (boxes[:, 1] + boxes[:, 2] / 2) / sy
+    size64 = boxes[:, 2] / (0.5 * (sx + sy))
+    cell_x = np.clip((cx64 / odet.STRIDE).astype(np.int32), 0, 7)
+    cell_y = np.clip((cy64 / odet.STRIDE).astype(np.int32), 0, 7)
+    dx = np.clip(cx64 / odet.STRIDE - cell_x, 1e-3, 1 - 1e-3)
+    dy = np.clip(cy64 / odet.STRIDE - cell_y, 1e-3, 1 - 1e-3)
+    cell = cell_y * 8 + cell_x
+    logit = lambda p: np.log(p / (1 - p))
+    return (
+        cell.astype(np.int32),
+        np.stack([logit(dx), logit(dy)], 1).astype(np.float32),
+        np.log(size64 / odet.SIZE_ANCHOR).astype(np.float32),
+    )
+
+
+def train_detector(
+    gray: np.ndarray,
+    boxes: np.ndarray,
+    seed: int = 0,
+    steps: int = 1500,
+    batch: int = 64,
+    lr: float = 3e-3,
+) -> dict[str, np.ndarray]:
+    """Train the conv localizer on (gray frames, GT boxes). Returns weights."""
+    H, W = gray.shape[1:]
+    gray64 = np.asarray(resize_frames(jnp.asarray(gray), odet.INPUT))
+    cell, off_logits, log_size = detector_targets(boxes, H, W)
+    params = jax.tree.map(jnp.asarray, odet.init_detector(seed))
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, g64, cell_b, off_b, ls_b):
+        head = ddet.forward(p, g64)                       # [B, 8, 8, 4]
+        B = head.shape[0]
+        flat = head.reshape(B, 64, 4)
+        score = flat[..., 0]
+        target = jax.nn.one_hot(cell_b, 64)
+        cls = optax.sigmoid_binary_cross_entropy(score, target).mean()
+        sel = jnp.take_along_axis(flat, cell_b[:, None, None], axis=1)[:, 0]
+        reg = ((sel[:, 1:3] - off_b) ** 2).mean() + ((sel[:, 3] - ls_b) ** 2).mean()
+        return cls + 0.5 * reg
+
+    @jax.jit
+    def step(p, o, g64, cell_b, off_b, ls_b):
+        l, grads = jax.value_and_grad(loss_fn)(p, g64, cell_b, off_b, ls_b)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, l
+
+    rng = np.random.default_rng(seed)
+    n = gray64.shape[0]
+    for i in range(steps):
+        idx = rng.integers(0, n, size=batch)
+        params, opt_state, l = step(
+            params, opt_state,
+            jnp.asarray(gray64[idx]), jnp.asarray(cell[idx]),
+            jnp.asarray(off_logits[idx]), jnp.asarray(log_size[idx]),
+        )
+    return {k: np.asarray(v) for k, v in params.items()}
+
+
+def detector_box_error(params, gray, gt_boxes) -> float:
+    """Mean |pred - gt| box coordinate error in pixels over a set."""
+    pred = np.asarray(
+        ddet.detect(ddet.params_to_jax(params), jnp.asarray(gray))
+    )
+    return float(np.abs(pred - gt_boxes).mean())
+
+
+def train_all(
+    seed: int = 0,
+    n_clips: int = 40,
+    data_cfg: DataConfig | None = None,
+    pre_cfg: PreprocessConfig | None = None,
+    det_steps: int = 1500,
+    out_dir: str | None = None,
+    verbose: bool = True,
+):
+    """Train detector + ERT on fixtures; write assets; report held-out quality."""
+    data_cfg = data_cfg or DataConfig()
+    pre_cfg = pre_cfg or PreprocessConfig()
+    out_dir = out_dir or ASSETS_DIR
+    os.makedirs(out_dir, exist_ok=True)
+
+    clips = make_clips(seed + 1, n_clips, data_cfg)
+    gray, boxes, lms = _collect_frames(clips)
+    if verbose:
+        print(f"training set: {gray.shape[0]} frames from {n_clips} clips")
+
+    det_params = train_detector(gray, boxes, seed=seed, steps=det_steps)
+    ert_model = train_ert(
+        gray, boxes, lms, seed=seed,
+        stages=pre_cfg.ert_cascades, pool=pre_cfg.ert_pool,
+        trees=pre_cfg.ert_trees, depth=pre_cfg.ert_depth,
+        verbose=verbose,
+    )
+
+    # held-out evaluation
+    test = make_clips(seed + 777_001, 6, data_cfg)
+    tg, tb, tl = _collect_frames(test, stride=4)
+    det_err = detector_box_error(det_params, tg, tb)
+    from lipreading_tpu.oracle.ert_train import landmark_error
+
+    ert_err = landmark_error(ert_model, tg, tb, tl)
+    if verbose:
+        print(f"held-out detector box error: {det_err:.3f} px")
+        print(f"held-out landmark error: {ert_err:.5f} box units")
+
+    odet.save_params(det_params, os.path.join(out_dir, "detector.npz"))
+    ert_model.save(os.path.join(out_dir, "ert.npz"))
+    return det_params, ert_model, {"det_err_px": det_err, "ert_err": ert_err}
+
+
+def load_assets(assets_dir: str | None = None):
+    """Load the checked-in preprocessing weights (detector params, ERT model)."""
+    from lipreading_tpu.oracle.ert import ERTModel
+
+    d = assets_dir or ASSETS_DIR
+    det = odet.load_params(os.path.join(d, "detector.npz"))
+    ert = ERTModel.load(os.path.join(d, "ert.npz"))
+    return det, ert

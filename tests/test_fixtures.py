@@ -1,0 +1,51 @@
+import numpy as np
+
+from lipreading_tpu.fixtures import char_mouth_params, make_clip
+from lipreading_tpu.vtt import align_cues_to_frames, parse_vtt
+
+
+def test_determinism():
+    a = make_clip(5)
+    b = make_clip(5)
+    assert (a.frames == b.frames).all()
+    assert (a.landmarks == b.landmarks).all()
+    assert a.text == b.text
+
+
+def test_distinct_char_shapes():
+    seen = set()
+    for c in "abcdefghijklmnopqrstuvwxyz'":
+        seen.add(char_mouth_params(c))
+    assert len(seen) == 27  # every speakable char has a unique mouth shape
+
+
+def test_landmarks_consistent_with_box(clip0):
+    c = clip0
+    # all landmarks inside the face box (with small tolerance for brows)
+    x0, y0, w, h = np.moveaxis(c.boxes, 1, 0)
+    lm = c.landmarks
+    assert (lm[..., 0] >= (x0[:, None] - 2)).all()
+    assert (lm[..., 0] <= (x0 + w)[:, None] + 2).all()
+    assert (lm[..., 1] >= (y0[:, None] - 2)).all()
+    assert (lm[..., 1] <= (y0 + h)[:, None] + 2).all()
+    # mouth landmarks live in the lower half of the face
+    mouth_y = lm[:, 48:68, 1]
+    assert (mouth_y > (y0 + 0.5 * h)[:, None]).all()
+
+
+def test_mouth_animates_with_text(clip0):
+    # inner-lip vertical gap must vary over time (speech drives openness)
+    gap = clip0.landmarks[:, 66, 1] - clip0.landmarks[:, 62, 1]
+    assert gap.std() > 0.5
+
+
+def test_vtt_matches_transcript(clip0):
+    cues = parse_vtt(clip0.vtt)
+    samples = align_cues_to_frames(cues, clip0.fps, clip0.num_frames)
+    assert " ".join(s[2] for s in samples) == clip0.text
+
+
+def test_frames_dtype_range(clip0):
+    assert clip0.frames.dtype == np.uint8
+    assert clip0.frames.max() > 100  # face rendered
+    assert clip0.landmarks.dtype == np.float32
