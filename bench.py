@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness (run by the driver on real TPU hardware).
+
+Headline metric = BASELINE.json:2: video->ROI preprocessing frames/sec/chip,
+with vs_baseline = TPU fps / measured CPU-oracle fps (the reference path;
+BASELINE's target is vs_baseline >= 10).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lipreading_tpu.config import PreprocessConfig
+    from lipreading_tpu.fixtures import make_clip
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+    from lipreading_tpu.ops.preprocess import preprocess_frames
+    from lipreading_tpu.oracle.pipeline import run_clip
+    from lipreading_tpu.preproc_training import load_assets
+
+    backend = jax.default_backend()
+    det_np, ert_np = load_assets()
+    det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+    pre_cfg = PreprocessConfig()
+
+    # frame corpus: several fixture clips stacked (batch of 512 frames)
+    clips = [make_clip(100 + i) for i in range(8)]
+    frames = np.concatenate([c.frames for c in clips])[:512]
+    n = frames.shape[0]
+
+    @jax.jit
+    def pre(fr):
+        return preprocess_frames(det, ert, fr, pre_cfg)
+
+    dev_frames = jnp.asarray(frames)
+    pre(dev_frames).block_until_ready()          # compile + warm
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = pre(dev_frames)
+    out.block_until_ready()
+    tpu_fps = n * reps / (time.perf_counter() - t0)
+
+    # oracle denominator: the per-frame CPU loop on a subset
+    oracle = run_clip(clips[0].frames[:48], det_np, ert_np, pre_cfg)
+    cpu_fps = oracle.frames_per_sec
+
+    # parity spot check on the bench hardware (guards against perf-only wins)
+    roi_dev = np.asarray(pre(jnp.asarray(clips[0].frames[:48])))
+    max_diff = float(np.abs(roi_dev - oracle.roi).max())
+
+    print(json.dumps({
+        "metric": "preprocess_fps_per_chip",
+        "value": round(tpu_fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(tpu_fps / cpu_fps, 2),
+        "cpu_oracle_fps": round(cpu_fps, 1),
+        "parity_max_diff": max_diff,
+        "backend": backend,
+        "batch_frames": n,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Dataview builder + reader (ref: src/scripts/generate_dataview.py —
+SURVEY.md §3 "Dataview builder": pairs ROI frame-stacks with caption chars and
+caches shards to disk).
+
+A dataview directory holds one ``.npz`` per supervision sample plus an
+``index.json``:
+
+    sample.npz: roi_u8 [T, R, R] uint8   mouth-ROI grayscale, pre-normalization
+                (normalization happens on device — 4x less disk/PCIe traffic)
+    index.json: [{"file", "text", "num_frames"}, ...] + build metadata
+
+Unlike the reference (per-frame dlib loop writing pickles), the builder runs
+the batched device preprocessing over whole clips and aligns VTT cues to frame
+ranges to cut supervision samples.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from lipreading_tpu.config import DataConfig, PreprocessConfig
+from lipreading_tpu.vtt import align_cues_to_frames, parse_vtt
+
+
+def roi_to_u8(roi_norm: np.ndarray, cfg: PreprocessConfig) -> np.ndarray:
+    """Invert normalization to storable uint8 gray."""
+    g = (roi_norm * cfg.normalize_std + cfg.normalize_mean) * 255.0
+    return np.clip(np.floor(g + 0.5), 0, 255).astype(np.uint8)
+
+
+def u8_to_roi(roi_u8: np.ndarray, cfg: PreprocessConfig) -> np.ndarray:
+    return ((roi_u8.astype(np.float32) / 255.0) - cfg.normalize_mean) / cfg.normalize_std
+
+
+class DataviewWriter:
+    def __init__(self, out_dir: str, data_cfg: DataConfig, pre_cfg: PreprocessConfig):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.entries: list[dict] = []
+        self.meta = {
+            "roi_size": pre_cfg.roi_size,
+            "normalize_mean": pre_cfg.normalize_mean,
+            "normalize_std": pre_cfg.normalize_std,
+            "fps": data_cfg.fps,
+        }
+
+    def add(self, sample_id: str, roi_u8: np.ndarray, text: str) -> None:
+        fname = f"{sample_id}.npz"
+        np.savez_compressed(
+            os.path.join(self.out_dir, fname), roi_u8=roi_u8.astype(np.uint8)
+        )
+        self.entries.append(
+            {"file": fname, "text": text, "num_frames": int(roi_u8.shape[0])}
+        )
+
+    def finalize(self) -> None:
+        with open(os.path.join(self.out_dir, "index.json"), "w") as f:
+            json.dump({"meta": self.meta, "samples": self.entries}, f, indent=1)
+
+
+class Dataview:
+    """Reader over a dataview directory."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(os.path.join(path, "index.json")) as f:
+            idx = json.load(f)
+        self.meta = idx["meta"]
+        self.samples = idx["samples"]
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def text(self, i: int) -> str:
+        return self.samples[i]["text"]
+
+    def num_frames(self, i: int) -> int:
+        return self.samples[i]["num_frames"]
+
+    def roi_u8(self, i: int) -> np.ndarray:
+        z = np.load(os.path.join(self.path, self.samples[i]["file"]))
+        return z["roi_u8"]
+
+
+def build_fixture_dataview(
+    out_dir: str,
+    n_clips: int,
+    seed: int = 0,
+    data_cfg: DataConfig | None = None,
+    pre_cfg: PreprocessConfig | None = None,
+    use_ground_truth_landmarks: bool = False,
+    batch_frames: int = 256,
+) -> Dataview:
+    """Render fixture clips, preprocess on device, cut cue-aligned samples.
+
+    ``use_ground_truth_landmarks`` bypasses the detector/ERT with fixture GT
+    (isolates model training from landmarker quality in tests).
+    """
+    import jax.numpy as jnp
+
+    from lipreading_tpu.fixtures import make_clip
+    from lipreading_tpu.ops import roi as roi_ops
+    from lipreading_tpu.ops.preprocess import (
+        mouth_boxes_from_landmarks,
+        preprocess_frames,
+    )
+
+    data_cfg = data_cfg or DataConfig()
+    pre_cfg = pre_cfg or PreprocessConfig()
+    writer = DataviewWriter(out_dir, data_cfg, pre_cfg)
+
+    det = ert = None
+    if not use_ground_truth_landmarks:
+        from lipreading_tpu.ops.detector import params_to_jax
+        from lipreading_tpu.ops.ert import model_to_jax
+        from lipreading_tpu.preproc_training import load_assets
+
+        det_np, ert_np = load_assets()
+        det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+
+    for c in range(n_clips):
+        clip = make_clip(seed * 1_000_000 + c, data_cfg)
+        H, W = clip.frames.shape[1:3]
+        rois = []
+        for lo in range(0, clip.num_frames, batch_frames):
+            chunk = clip.frames[lo:lo + batch_frames]
+            if use_ground_truth_landmarks:
+                gray = roi_ops.grayscale(jnp.asarray(chunk))
+                mb = mouth_boxes_from_landmarks(
+                    jnp.asarray(clip.landmarks[lo:lo + batch_frames]),
+                    pre_cfg.roi_margin, H, W,
+                )
+                r = roi_ops.sample_rois_xla(
+                    gray, mb, pre_cfg.roi_size,
+                    mean=pre_cfg.normalize_mean, std=pre_cfg.normalize_std,
+                )
+            else:
+                r = preprocess_frames(det, ert, jnp.asarray(chunk), pre_cfg)
+            rois.append(np.asarray(r))
+        roi_norm = np.concatenate(rois, axis=0)
+        roi_u8 = roi_to_u8(roi_norm, pre_cfg)
+
+        cues = parse_vtt(clip.vtt)
+        for j, (first, last, text) in enumerate(
+            align_cues_to_frames(cues, clip.fps, clip.num_frames)
+        ):
+            writer.add(f"clip{c:05d}_cue{j:02d}", roi_u8[first:last], text)
+        # whole-clip sample too (longer-context supervision)
+        writer.add(f"clip{c:05d}_full", roi_u8, clip.text)
+
+    writer.finalize()
+    return Dataview(out_dir)

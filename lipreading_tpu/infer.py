@@ -1,0 +1,122 @@
+"""Inference: encoder pass + decoding strategy dispatch (ref: eval/demo
+scripts, SURVEY.md §4.3 — minus the per-step Python loops).
+
+Device side returns padded id tensors; host side maps ids to strings via the
+vocab. The jitted programs are cached per (shape, strategy).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lipreading_tpu.config import Config
+from lipreading_tpu.models import transformer as tf
+from lipreading_tpu.models.attention import (
+    decoder_step as attn_step,
+    precompute_attention,
+)
+from lipreading_tpu.models.lipreader import _act_dtype, ctc_logits, encode
+from lipreading_tpu.models.nn import length_mask
+from lipreading_tpu.ops.decode import (
+    beam_search,
+    ctc_greedy_ids,
+    greedy_decode,
+    tile_for_beams,
+)
+from lipreading_tpu.text import Vocab
+
+
+def _attention_step_fn(params, cfg: Config, enc, enc_lengths, dtype):
+    """Build (init_state, step_fn) for the configured attention decoder."""
+    B, T, _ = enc.shape
+    if cfg.encoder == "bigru":
+        p = params["att_decoder"]
+        enc_proj = precompute_attention(p, enc, dtype)
+        enc_mask = length_mask(enc_lengths, T)
+        H = p["gru"]["w_hh"].shape[0]
+        state = {"h": jnp.zeros((B, H), enc.dtype)}
+
+        def step(state, tok):
+            h, logits = attn_step(
+                p, state["h"], tok, enc, enc_proj, enc_mask, dtype
+            )
+            return {"h": h}, logits
+
+        return state, step, None
+    else:
+        p = params["att_decoder"]
+        cache = tf.decoder_init_cache(
+            p, B, cfg.train.max_decode_len, cfg.model.tf_heads, jnp.float32
+        )
+
+        def step(cache, tok):
+            return tf.decoder_step(
+                p, cache, tok, enc, enc_lengths, cfg.model.tf_heads, dtype
+            )
+
+        return cache, step, None
+
+
+def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None):
+    """[B, T, R, R] -> (ids [B, L], lengths [B]) on device.
+
+    Strategy: CTC greedy for decoder="ctc"; attention greedy (beam in (0, 1))
+    or beam search otherwise.
+    """
+    dtype = _act_dtype(cfg)
+    vocab = Vocab()
+    enc = encode(params, cfg, rois, frame_lengths, dtype)
+    B = enc.shape[0]
+    if cfg.decoder == "ctc":
+        logits = ctc_logits(params, enc)
+        return ctc_greedy_ids(logits, frame_lengths, blank=vocab.blank_id)
+
+    beam = cfg.train.beam_width if beam is None else beam
+    max_len = cfg.train.max_decode_len
+    if beam <= 1:
+        state, step, _ = _attention_step_fn(params, cfg, enc, frame_lengths, dtype)
+        return greedy_decode(step, state, B, max_len, vocab.sos_id, vocab.eos_id)
+
+    enc_t = jnp.repeat(enc, beam, axis=0)
+    len_t = jnp.repeat(frame_lengths, beam, axis=0)
+    state, step, _ = _attention_step_fn(params, cfg, enc_t, len_t, dtype)
+    return beam_search(
+        step, state, B, beam, max_len, vocab.sos_id, vocab.eos_id
+    )
+
+
+_JIT_CACHE: dict = {}
+
+
+def _decode_jit(cfg: Config, beam: int):
+    """Per-(config, beam) jitted decode closure (Config isn't hashable)."""
+    import json
+
+    key = (json.dumps(cfg.to_dict(), sort_keys=True, default=str), beam)
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(
+            lambda p, r, l: decode_ids(p, cfg, r, l, beam)
+        )
+    return _JIT_CACHE[key]
+
+
+def transcribe(params, cfg: Config, rois, frame_lengths,
+               beam: int | None = None, vocab: Vocab | None = None) -> list[str]:
+    """Batch of ROI sequences -> transcripts (host strings)."""
+    vocab = vocab or Vocab()
+    beam = cfg.train.beam_width if beam is None else beam
+    ids, lengths = _decode_jit(cfg, beam)(
+        params, jnp.asarray(rois), jnp.asarray(frame_lengths)
+    )
+    ids = np.asarray(ids)
+    lengths = np.asarray(lengths)
+    out = []
+    for b in range(ids.shape[0]):
+        # CTC ids are already collapsed on device; attention ids are raw —
+        # vocab.decode drops specials either way
+        out.append(vocab.decode(ids[b, : lengths[b]]))
+    return out

@@ -1,0 +1,131 @@
+"""Flagship composed models + training losses.
+
+Mirrors the reference's model families (SURVEY.md §3, BASELINE configs 3-4):
+
+    encoder="bigru"       : 3D-CNN frontend -> bi-GRU            (config 3)
+    encoder="transformer" : 3D-CNN frontend -> transformer enc   (config 4)
+    decoder="ctc"         : linear CTC head, greedy/beam CTC decode
+    decoder="attention"   : autoregressive attention decoder
+    decoder="hybrid"      : both heads, loss = ctc_w * CTC + att_w * CE
+                            (LCANet's cascaded attention-CTC, 1803.04988)
+
+The attention decoder is the Bahdanau GRU when the encoder is the bi-GRU
+(reference's AttnDecoder path) and the transformer decoder otherwise.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lipreading_tpu.config import Config
+from lipreading_tpu.models import nn
+from lipreading_tpu.models.attention import attn_decoder_init, teacher_forced_logits
+from lipreading_tpu.models.frontend3d import frontend_apply, frontend_init
+from lipreading_tpu.models.gru import bigru, bigru_init
+from lipreading_tpu.models import transformer as tf
+from lipreading_tpu.ops.ctc import ctc_loss
+
+
+def _act_dtype(cfg: Config):
+    return jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+
+
+def init_model(key, cfg: Config):
+    m = cfg.model
+    ks = jax.random.split(key, 4)
+    params = {"frontend": frontend_init(ks[0], m)}
+    if cfg.encoder == "bigru":
+        params["encoder"] = bigru_init(ks[1], m.frontend_dim, m.gru_hidden,
+                                       m.gru_layers)
+        enc_dim = 2 * m.gru_hidden
+    elif cfg.encoder == "transformer":
+        params["encoder"] = tf.encoder_init(ks[1], m, m.frontend_dim)
+        enc_dim = m.tf_dim
+    else:
+        raise ValueError(f"unknown encoder {cfg.encoder!r}")
+
+    if cfg.decoder in ("ctc", "hybrid"):
+        params["ctc_head"] = nn.dense_init(ks[2], enc_dim, m.vocab_size)
+    if cfg.decoder in ("attention", "hybrid"):
+        if cfg.encoder == "bigru":
+            params["att_decoder"] = attn_decoder_init(ks[3], m, enc_dim)
+        else:
+            params["att_decoder"] = tf.decoder_init(ks[3], m)
+    return params
+
+
+def encode(params, cfg: Config, rois, frame_lengths, dtype=None):
+    """[B, T, R, R] + lengths -> [B, T, D] encoder states."""
+    dtype = dtype or _act_dtype(cfg)
+    feats = frontend_apply(params["frontend"], rois, dtype=dtype)
+    if cfg.encoder == "bigru":
+        return bigru(params["encoder"], feats, frame_lengths, dtype=dtype)
+    return tf.encoder_apply(params["encoder"], feats, frame_lengths,
+                            cfg.model.tf_heads, dtype=dtype)
+
+
+def ctc_logits(params, enc, dtype=None):
+    return nn.dense(params["ctc_head"], enc, dtype=dtype).astype(jnp.float32)
+
+
+def attention_logits(params, cfg: Config, enc, enc_lengths, targets, dtype=None):
+    """Teacher-forced next-token logits [B, L-1, V] for targets [B, L]."""
+    dtype = dtype or _act_dtype(cfg)
+    if cfg.encoder == "bigru":
+        return teacher_forced_logits(
+            params["att_decoder"], enc, enc_lengths, targets, dtype=dtype
+        )
+    return tf.decoder_apply(
+        params["att_decoder"], targets[:, :-1], enc, enc_lengths,
+        cfg.model.tf_heads, dtype=dtype,
+    )
+
+
+def cross_entropy_loss(logits, targets_out, target_lengths, pad_id=0):
+    """Masked mean CE. logits [B, L-1, V] vs targets_out = targets[:, 1:]."""
+    L = targets_out.shape[1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets_out[..., None], axis=-1)[..., 0]
+    # positions 0..len-2 of targets_out are real (len counts sos..eos)
+    mask = nn.length_mask(target_lengths - 1, L).astype(jnp.float32)
+    return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def compute_loss(params, cfg: Config, batch, train: bool = True):
+    """Full hybrid loss over a batch dict:
+
+        rois           [B, T, R, R]  normalized float
+        frame_lengths  [B]
+        targets        [B, L]   sos-framed, eos-terminated, pad after
+        target_lengths [B]      includes sos+eos
+        ctc_labels     [B, Lc]  bare char ids
+        ctc_lengths    [B]
+
+    Returns (loss, metrics dict).
+    """
+    t = cfg.train
+    enc = encode(params, cfg, batch["rois"], batch["frame_lengths"])
+    metrics = {}
+    loss = 0.0
+    if cfg.decoder in ("ctc", "hybrid"):
+        logits = ctc_logits(params, enc)
+        nll = ctc_loss(
+            logits, batch["ctc_labels"], batch["frame_lengths"],
+            batch["ctc_lengths"],
+        )
+        lc = jnp.mean(nll / jnp.maximum(batch["ctc_lengths"].astype(jnp.float32), 1.0))
+        w = t.ctc_weight if cfg.decoder == "hybrid" else 1.0
+        loss = loss + w * lc
+        metrics["ctc_loss"] = lc
+    if cfg.decoder in ("attention", "hybrid"):
+        att = attention_logits(
+            params, cfg, enc, batch["frame_lengths"], batch["targets"]
+        )
+        la = cross_entropy_loss(att, batch["targets"][:, 1:],
+                                batch["target_lengths"])
+        w = t.att_weight if cfg.decoder == "hybrid" else 1.0
+        loss = loss + w * la
+        metrics["att_loss"] = la
+    metrics["loss"] = loss
+    return loss, metrics

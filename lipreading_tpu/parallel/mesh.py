@@ -1,0 +1,48 @@
+"""Device mesh + sharding helpers.
+
+DP-over-ICI is the primary strategy (BASELINE.json config 5: v5e-8); the mesh
+keeps a second ``model`` axis plumbed through so tensor-parallel layouts can
+be enabled by config without code changes (SURVEY.md §3: "keep mesh-axis
+plumbing generic so TP can shard the transformer later").
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lipreading_tpu.config import MeshConfig
+
+
+def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
+    cfg = cfg or MeshConfig()
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    mp = max(1, cfg.model_parallel)
+    dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp
+    if dp * mp > n:
+        raise ValueError(f"mesh {dp}x{mp} needs {dp*mp} devices, have {n}")
+    arr = np.asarray(devices[: dp * mp]).reshape(dp, mp)
+    return Mesh(arr, (cfg.data_axis, cfg.model_axis))
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree over the mesh (params, opt state)."""
+    s = NamedSharding(mesh, P())
+    return jax.device_put(tree, s)
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Leading-dim sharding for batches."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
+    """Put a host batch dict on the mesh, batch dim split over the data axis."""
+    s = batch_sharding(mesh, data_axis)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def param_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,183 @@
+"""Training loop (ref: train_model.py main loop — SURVEY.md §4.2).
+
+One jitted, sharding-annotated train step (AdamW + global-norm clip +
+warmup-cosine schedule); donated params/opt buffers; per-N-step JSONL
+metrics, checkpoints, and CER/WER eval with sample decodes. Under a multi-
+device mesh the same code runs data-parallel: batches are sharded over the
+``data`` axis, params replicated, and the XLA partitioner inserts the psum
+for gradients (no pmap, no manual collectives).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lipreading_tpu.config import Config
+from lipreading_tpu.data.dataset import Batch, BatchIterator, batch_to_device
+from lipreading_tpu.infer import transcribe
+from lipreading_tpu.metrics import corpus_cer, corpus_wer
+from lipreading_tpu.models.lipreader import compute_loss, init_model
+from lipreading_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+)
+from lipreading_tpu.text import Vocab
+from lipreading_tpu.train.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from lipreading_tpu.train.metrics_log import MetricsLogger
+
+
+def make_optimizer(cfg: Config):
+    t = cfg.train
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=t.learning_rate,
+        warmup_steps=t.warmup_steps,
+        decay_steps=max(t.total_steps, t.warmup_steps + 1),
+        end_value=t.learning_rate * 0.05,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(t.grad_clip),
+        optax.adamw(schedule, weight_decay=t.weight_decay),
+    )
+
+
+class Trainer:
+    """Owns params/opt_state, the jitted step, checkpoints, and eval."""
+
+    def __init__(self, cfg: Config, workdir: str, mesh=None, seed=None):
+        self.cfg = cfg
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.vocab = Vocab()
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        self.logger = MetricsLogger(os.path.join(workdir, "logs"))
+
+        key = jax.random.PRNGKey(cfg.train.seed if seed is None else seed)
+        self.params = replicate(init_model(key, cfg), self.mesh)
+        self.tx = make_optimizer(cfg)
+        self.opt_state = replicate(self.tx.init(self.params), self.mesh)
+        self.step = 0
+        self._jit_step = self._build_step()
+
+    def _build_step(self):
+        cfg, tx = self.cfg, self.tx
+        bsh = batch_sharding(self.mesh)
+        rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+
+        def step_fn(params, opt_state, batch):
+            def loss_fn(p):
+                return compute_loss(p, cfg, batch, train=True)
+
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return params, opt_state, metrics
+
+        batch_shardings = {
+            "rois": bsh, "frame_lengths": bsh, "targets": bsh,
+            "target_lengths": bsh, "ctc_labels": bsh, "ctc_lengths": bsh,
+        }
+        return jax.jit(
+            step_fn,
+            in_shardings=(rep, rep, batch_shardings),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+
+    def train_step(self, batch: Batch) -> dict:
+        dev_batch = batch_to_device(
+            batch, self.cfg.preprocess.normalize_mean,
+            self.cfg.preprocess.normalize_std,
+        )
+        self.params, self.opt_state, metrics = self._jit_step(
+            self.params, self.opt_state, dev_batch
+        )
+        self.step += 1
+        return metrics
+
+    def fit(self, iterator: BatchIterator, steps: int | None = None,
+            eval_batches: list[Batch] | None = None) -> dict:
+        t_cfg = self.cfg.train
+        steps = steps if steps is not None else t_cfg.total_steps
+        last = {}
+        t0 = time.perf_counter()
+        window_frames = 0
+        for _ in range(steps):
+            batch = next(iterator)
+            metrics = self.train_step(batch)
+            window_frames += int(batch.frame_lengths.sum())
+            if self.step % t_cfg.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.perf_counter() - t0
+                m["frames_per_sec"] = window_frames / dt if dt > 0 else 0.0
+                m["epoch"] = iterator.epoch
+                self.logger.log(self.step, **m)
+                last = m
+                t0 = time.perf_counter()
+                window_frames = 0
+            if t_cfg.eval_every and self.step % t_cfg.eval_every == 0 and eval_batches:
+                last.update(self.evaluate(eval_batches))
+            if t_cfg.checkpoint_every and self.step % t_cfg.checkpoint_every == 0:
+                self.save(iterator)
+        return last
+
+    def evaluate(self, batches: list[Batch], beam: int | None = None) -> dict:
+        hyps, refs = [], []
+        for b in batches:
+            dev = batch_to_device(
+                b, self.cfg.preprocess.normalize_mean,
+                self.cfg.preprocess.normalize_std,
+            )
+            hyps.extend(
+                transcribe(self.params, self.cfg, dev["rois"],
+                           dev["frame_lengths"], beam=beam, vocab=self.vocab)
+            )
+            refs.extend(b.texts)
+        m = {"eval_cer": corpus_cer(hyps, refs), "eval_wer": corpus_wer(hyps, refs)}
+        self.logger.log(self.step, **m)
+        self.logger.log_text(self.step, "sample_decode",
+                             f"hyp={hyps[0]!r} ref={refs[0]!r}")
+        return m
+
+    # --- checkpointing -----------------------------------------------------
+
+    @property
+    def ckpt_dir(self) -> str:
+        return os.path.join(self.workdir, "ckpt")
+
+    def save(self, iterator: BatchIterator | None = None) -> str:
+        return save_checkpoint(
+            self.ckpt_dir, self.step, self.params, self.opt_state,
+            iterator_state=iterator.state if iterator else None,
+            extra={"config": self.cfg.name},
+        )
+
+    def restore(self, path: str | None = None) -> dict:
+        """Resume from a checkpoint; returns the saved iterator state."""
+        path = path or latest_checkpoint(self.ckpt_dir)
+        if path is None:
+            return {}
+        step, params, opt_state, it_state, _ = load_checkpoint(
+            path, self.params, self.opt_state
+        )
+        self.step = step
+        self.params = replicate(params, self.mesh)
+        self.opt_state = replicate(
+            opt_state if opt_state is not None else self.tx.init(params),
+            self.mesh,
+        )
+        return it_state

@@ -11,13 +11,18 @@ Must run before the first jax import anywhere:
 import os
 import sys
 
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon sitecustomize imports jax and pins jax_platforms=axon at
+# interpreter startup — env vars are too late here. Re-pin to CPU before the
+# first backend initialization (backends init lazily at first use).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 

@@ -1,0 +1,117 @@
+"""Model variant smoke + decode tests (BASELINE configs 3-4 model families)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lipreading_tpu.config import preset
+from lipreading_tpu.infer import transcribe
+from lipreading_tpu.models.lipreader import compute_loss, init_model
+
+
+def tiny(cfg):
+    cfg.model.frontend_channels = (4, 8, 12)
+    cfg.model.frontend_dim = 32
+    cfg.model.gru_hidden = 24
+    cfg.model.gru_layers = 1
+    cfg.model.tf_layers = 1
+    cfg.model.tf_dec_layers = 1
+    cfg.model.tf_dim = 32
+    cfg.model.tf_heads = 2
+    cfg.model.tf_mlp = 64
+    cfg.model.dtype = "float32"
+    cfg.train.max_decode_len = 8
+    cfg.train.beam_width = 3
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    B, T, R, L = 2, 10, 96, 8
+    return {
+        "rois": jnp.asarray(rng.normal(0, 1, (B, T, R, R)).astype(np.float32)),
+        "frame_lengths": jnp.asarray([10, 7]),
+        "targets": jnp.asarray(rng.integers(3, 30, (B, L)).astype(np.int32)),
+        "target_lengths": jnp.asarray([6, 5]),
+        "ctc_labels": jnp.asarray(rng.integers(3, 30, (B, L)).astype(np.int32)),
+        "ctc_lengths": jnp.asarray([4, 3]),
+    }
+
+
+@pytest.mark.parametrize(
+    "enc,dec",
+    [("bigru", "ctc"), ("bigru", "attention"), ("bigru", "hybrid"),
+     ("transformer", "hybrid"), ("transformer", "ctc")],
+)
+def test_variants_loss_and_decode(enc, dec, batch):
+    cfg = tiny(preset("bigru-ctc"))
+    cfg.encoder, cfg.decoder = enc, dec
+    if dec == "hybrid":
+        cfg.train.ctc_weight = cfg.train.att_weight = 0.5
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    loss, metrics = jax.jit(lambda p, b: compute_loss(p, cfg, b))(params, batch)
+    assert np.isfinite(float(loss))
+    assert set(metrics) >= {"loss"}
+    outs = transcribe(params, cfg, batch["rois"], batch["frame_lengths"], beam=1)
+    assert len(outs) == 2 and all(isinstance(o, str) for o in outs)
+    if dec != "ctc":
+        outs_b = transcribe(params, cfg, batch["rois"], batch["frame_lengths"],
+                            beam=3)
+        assert len(outs_b) == 2
+
+
+def test_loss_gradients_finite(batch):
+    cfg = tiny(preset("bigru-ctc"))
+    cfg.decoder = "hybrid"
+    cfg.train.ctc_weight = cfg.train.att_weight = 0.5
+    params = init_model(jax.random.PRNGKey(1), cfg)
+    g = jax.grad(lambda p: compute_loss(p, cfg, batch)[0])(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    # every parameter receives gradient somewhere
+    nonzero = sum(float(np.abs(np.asarray(x)).sum()) > 0 for x in leaves)
+    assert nonzero / len(leaves) > 0.9
+
+
+def test_beam_not_worse_than_greedy():
+    """Beam search sequence log-prob must be >= greedy's under the model."""
+    from lipreading_tpu.models.lipreader import encode
+    from lipreading_tpu.infer import _attention_step_fn
+    from lipreading_tpu.ops.decode import beam_search, greedy_decode
+    import jax.numpy as jnp
+
+    cfg = tiny(preset("transformer-attn"))
+    cfg.encoder, cfg.decoder = "transformer", "attention"
+    params = init_model(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(3)
+    rois = jnp.asarray(rng.normal(0, 1, (2, 10, 96, 96)).astype(np.float32))
+    lengths = jnp.asarray([10, 8])
+    enc = encode(params, cfg, rois, lengths, jnp.float32)
+
+    def seq_logp(ids, lens):
+        """Score a decoded sequence under teacher forcing."""
+        from lipreading_tpu.models.transformer import decoder_apply
+
+        sos = jnp.full((ids.shape[0], 1), 1, jnp.int32)
+        inp = jnp.concatenate([sos, ids], axis=1)[:, :-1]
+        logits = decoder_apply(params["att_decoder"], inp, enc, lengths,
+                               cfg.model.tf_heads, jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok_lp = jnp.take_along_axis(logp, ids[..., None], axis=-1)[..., 0]
+        mask = jnp.arange(ids.shape[1])[None] < lens[:, None]
+        return (tok_lp * mask).sum(axis=1)
+
+    state, step, _ = _attention_step_fn(params, cfg, enc, lengths, jnp.float32)
+    g_ids, g_len = greedy_decode(step, state, 2, 8, 1, 2)
+    enc_t = jnp.repeat(enc, 3, axis=0)
+    len_t = jnp.repeat(lengths, 3, axis=0)
+    state_t, step_t, _ = _attention_step_fn(params, cfg, enc_t, len_t, jnp.float32)
+    b_ids, b_len = beam_search(step_t, state_t, 2, 3, 8, 1, 2,
+                               length_penalty=0.0)
+    # include eos in scored length
+    g_s = np.asarray(seq_logp(g_ids, jnp.minimum(g_len + 1, 8)))
+    b_s = np.asarray(seq_logp(b_ids, jnp.minimum(b_len + 1, 8)))
+    assert (b_s >= g_s - 1e-4).all(), (b_s, g_s)

@@ -1,0 +1,139 @@
+"""Training loop, dataview, checkpoint/resume (BASELINE config 3 machinery)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lipreading_tpu.config import preset
+from lipreading_tpu.data.dataset import BatchIterator, BucketedDataset
+from lipreading_tpu.data.dataview import (
+    Dataview,
+    build_fixture_dataview,
+    roi_to_u8,
+    u8_to_roi,
+)
+from lipreading_tpu.train.loop import Trainer
+
+
+def tiny_cfg():
+    cfg = preset("bigru-ctc")
+    cfg.model.frontend_channels = (4, 8, 12)
+    cfg.model.frontend_dim = 32
+    cfg.model.gru_hidden = 32
+    cfg.model.gru_layers = 1
+    cfg.model.dtype = "float32"
+    cfg.data.batch_size = 2
+    cfg.data.time_buckets = (16, 24, 32, 64)
+    cfg.train.learning_rate = 1e-3
+    cfg.train.warmup_steps = 10
+    cfg.train.log_every = 20
+    cfg.train.eval_every = 0
+    cfg.train.checkpoint_every = 0
+    cfg.mesh.data_parallel = 1
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def dataview(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dv"))
+    cfg = tiny_cfg()
+    return build_fixture_dataview(path, n_clips=2, seed=42, data_cfg=cfg.data,
+                                  use_ground_truth_landmarks=True)
+
+
+def test_dataview_roundtrip(dataview):
+    view = Dataview(dataview.path)
+    assert len(view) == len(dataview)
+    roi = view.roi_u8(0)
+    assert roi.dtype == np.uint8 and roi.shape[1:] == (96, 96)
+    assert view.text(0)
+    # u8 <-> normalized roundtrip within quantization error
+    from lipreading_tpu.config import PreprocessConfig
+
+    pre = PreprocessConfig()
+    norm = u8_to_roi(roi, pre)
+    back = roi_to_u8(norm, pre)
+    assert (back == roi).all()
+
+
+def test_iterator_deterministic_and_resumable(dataview):
+    cfg = tiny_cfg()
+    ds = BucketedDataset(dataview, cfg.data)
+    a = BatchIterator(ds, 2, seed=7)
+    texts_a = [tuple(next(a).texts) for _ in range(6)]
+    b = BatchIterator(ds, 2, seed=7)
+    texts_b = [tuple(next(b).texts) for _ in range(6)]
+    assert texts_a == texts_b
+    # resume from mid-stream state
+    c = BatchIterator(ds, 2, seed=7)
+    for _ in range(3):
+        next(c)
+    d = BatchIterator.from_state(ds, 2, c.state)
+    assert [tuple(next(c).texts) for _ in range(3)] == [
+        tuple(next(d).texts) for _ in range(3)
+    ]
+
+
+def test_batch_shapes_static_per_bucket(dataview):
+    cfg = tiny_cfg()
+    ds = BucketedDataset(dataview, cfg.data)
+    it = BatchIterator(ds, 2, seed=0)
+    shapes = set()
+    for _ in range(6):
+        b = next(it)
+        shapes.add(b.rois_u8.shape)
+        assert b.rois_u8.shape[1] in cfg.data.time_buckets
+        assert (b.frame_lengths <= b.rois_u8.shape[1]).all()
+    assert len(shapes) <= len(cfg.data.time_buckets)
+
+
+def test_overfit_loss_decreases(dataview, tmp_path):
+    cfg = tiny_cfg()
+    ds = BucketedDataset(dataview, cfg.data)
+    it = BatchIterator(ds, 2, seed=0)
+    tr = Trainer(cfg, str(tmp_path / "run"))
+    first = tr.train_step(next(it))
+    losses = [float(first["loss"])]
+    for _ in range(59):
+        losses.append(float(tr.train_step(next(it))["loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+def test_checkpoint_save_restore(dataview, tmp_path):
+    import jax
+
+    cfg = tiny_cfg()
+    ds = BucketedDataset(dataview, cfg.data)
+    it = BatchIterator(ds, 2, seed=0)
+    tr = Trainer(cfg, str(tmp_path / "run"))
+    for _ in range(3):
+        tr.train_step(next(it))
+    tr.save(it)
+
+    tr2 = Trainer(cfg, str(tmp_path / "run"), seed=123)  # different init
+    it_state = tr2.restore()
+    assert tr2.step == 3
+    assert it_state["pos"] == it.state["pos"]
+    for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(tr2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored trainer must continue training identically
+    it3 = BatchIterator.from_state(ds, 2, it_state)
+    m1 = tr.train_step(next(it))
+    m2 = tr2.train_step(next(it3))
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-6
+
+
+def test_metrics_jsonl_written(dataview, tmp_path):
+    cfg = tiny_cfg()
+    cfg.train.log_every = 1
+    ds = BucketedDataset(dataview, cfg.data)
+    it = BatchIterator(ds, 2, seed=0)
+    tr = Trainer(cfg, str(tmp_path / "run"))
+    tr.fit(it, steps=2)
+    log = os.path.join(str(tmp_path / "run"), "logs", "metrics.jsonl")
+    assert os.path.exists(log)
+    import json
+
+    recs = [json.loads(line) for line in open(log)]
+    assert any("loss" in r for r in recs)
