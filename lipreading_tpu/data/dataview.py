@@ -105,7 +105,7 @@ def build_fixture_dataview(
     from lipreading_tpu.ops import roi as roi_ops
     from lipreading_tpu.ops.preprocess import (
         mouth_boxes_from_landmarks,
-        preprocess_frames,
+        preprocess_padded,
     )
 
     data_cfg = data_cfg or DataConfig()
@@ -124,10 +124,10 @@ def build_fixture_dataview(
     for c in range(n_clips):
         clip = make_clip(seed * 1_000_000 + c, data_cfg)
         H, W = clip.frames.shape[1:3]
-        rois = []
-        for lo in range(0, clip.num_frames, batch_frames):
-            chunk = clip.frames[lo:lo + batch_frames]
-            if use_ground_truth_landmarks:
+        if use_ground_truth_landmarks:
+            rois = []
+            for lo in range(0, clip.num_frames, batch_frames):
+                chunk = clip.frames[lo:lo + batch_frames]
                 gray = roi_ops.grayscale(jnp.asarray(chunk))
                 mb = mouth_boxes_from_landmarks(
                     jnp.asarray(clip.landmarks[lo:lo + batch_frames]),
@@ -137,10 +137,11 @@ def build_fixture_dataview(
                     gray, mb, pre_cfg.roi_size,
                     mean=pre_cfg.normalize_mean, std=pre_cfg.normalize_std,
                 )
-            else:
-                r = preprocess_frames(det, ert, jnp.asarray(chunk), pre_cfg)
-            rois.append(np.asarray(r))
-        roi_norm = np.concatenate(rois, axis=0)
+                rois.append(np.asarray(r))
+            roi_norm = np.concatenate(rois, axis=0)
+        else:
+            # padded path: bounds XLA compiles to one per length bucket
+            roi_norm = preprocess_padded(det, ert, clip.frames, pre_cfg)
         roi_u8 = roi_to_u8(roi_norm, pre_cfg)
 
         cues = parse_vtt(clip.vtt)

@@ -88,6 +88,47 @@ def make_preprocessor(det_params, ert_model, cfg: PreprocessConfig | None = None
     return run
 
 
+def preprocess_padded(
+    det_params,
+    ert_model,
+    frames,
+    cfg: PreprocessConfig | None = None,
+    bucket: int = 64,
+):
+    """Preprocess [N, H, W, 3] with N padded up to a multiple of ``bucket``.
+
+    Variable-length clips would otherwise force one XLA compilation per
+    distinct N (minutes of compile time over a corpus); padding by repeating
+    the last frame bounds the compile cache to N/bucket shapes and the
+    padded rows are sliced off. Returns numpy [N, R, R].
+    """
+    import numpy as np
+
+    cfg = cfg or PreprocessConfig()
+    frames = np.asarray(frames)
+    n = frames.shape[0]
+    padded = -(-n // bucket) * bucket
+    if padded != n:
+        frames = np.concatenate(
+            [frames, np.repeat(frames[-1:], padded - n, axis=0)]
+        )
+    out = _padded_jit(det_params, ert_model, jnp.asarray(frames), cfg)
+    return np.asarray(out[:n])
+
+
+_PADDED_CACHE: dict = {}
+
+
+def _padded_jit(det, ert, frames, cfg: PreprocessConfig):
+    key = (frames.shape, cfg.roi_size, cfg.roi_margin,
+           cfg.normalize_mean, cfg.normalize_std)
+    if key not in _PADDED_CACHE:
+        _PADDED_CACHE[key] = jax.jit(
+            lambda d, e, f: preprocess_frames(d, e, f, cfg)
+        )
+    return _PADDED_CACHE[key](det, ert, frames)
+
+
 def preprocess_clips(det_params, ert_model, clips: jnp.ndarray,
                      cfg: PreprocessConfig | None = None) -> jnp.ndarray:
     """[B, T, H, W, 3] -> [B, T, R, R]: flatten time into batch, one program."""

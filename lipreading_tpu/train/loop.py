@@ -155,6 +155,7 @@ class Trainer:
 
     # --- checkpointing -----------------------------------------------------
 
+
     @property
     def ckpt_dir(self) -> str:
         return os.path.join(self.workdir, "ckpt")
@@ -181,3 +182,83 @@ class Trainer:
             self.mesh,
         )
         return it_state
+
+class FusedTrainer(Trainer):
+    """Trainer whose jitted step runs video->ROI preprocessing ON DEVICE
+    ahead of the model (BASELINE config 5: preprocessing fused into the input
+    pipeline). Consumes raw uint8 frame batches (data/pipeline.VideoBatch);
+    the detector/ERT weights ride along as replicated constants.
+    """
+
+    def __init__(self, cfg: Config, workdir: str, det_params, ert_model,
+                 mesh=None, seed=None):
+        self._det = det_params
+        self._ert = ert_model
+        super().__init__(cfg, workdir, mesh=mesh, seed=seed)
+        self._det = replicate(jax.tree.map(jnp.asarray, det_params), self.mesh)
+        self._ert = replicate(jax.tree.map(jnp.asarray, ert_model), self.mesh)
+        self._jit_step = self._build_fused_step()
+
+    def _build_fused_step(self):
+        from lipreading_tpu.ops.preprocess import preprocess_clips
+
+        cfg, tx = self.cfg, self.tx
+        bsh = batch_sharding(self.mesh)
+        rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+
+        def step_fn(params, opt_state, det, ert, batch):
+            def loss_fn(p):
+                rois = preprocess_clips(det, ert, batch["frames"],
+                                        cfg.preprocess)
+                model_batch = dict(batch, rois=rois)
+                del model_batch["frames"]
+                return compute_loss(p, cfg, model_batch, train=True)
+
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return params, opt_state, metrics
+
+        batch_shardings = {
+            "frames": bsh, "frame_lengths": bsh, "targets": bsh,
+            "target_lengths": bsh, "ctc_labels": bsh, "ctc_lengths": bsh,
+        }
+        return jax.jit(
+            step_fn,
+            in_shardings=(rep, rep, rep, rep, batch_shardings),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+
+    def train_step(self, batch) -> dict:
+        from lipreading_tpu.data.pipeline import video_batch_to_device
+
+        dev = video_batch_to_device(batch, batch_sharding(self.mesh))
+        self.params, self.opt_state, metrics = self._jit_step(
+            self.params, self.opt_state, self._det, self._ert, dev
+        )
+        self.step += 1
+        return metrics
+
+    def evaluate(self, batches, beam=None) -> dict:
+        from lipreading_tpu.ops.preprocess import preprocess_clips
+
+        hyps, refs = [], []
+        for b in batches:
+            rois = preprocess_clips(
+                self._det, self._ert, jnp.asarray(b.frames), self.cfg.preprocess
+            )
+            hyps.extend(
+                transcribe(self.params, self.cfg, rois,
+                           jnp.asarray(b.frame_lengths), beam=beam,
+                           vocab=self.vocab)
+            )
+            refs.extend(b.texts)
+        m = {"eval_cer": corpus_cer(hyps, refs), "eval_wer": corpus_wer(hyps, refs)}
+        self.logger.log(self.step, **m)
+        self.logger.log_text(self.step, "sample_decode",
+                             f"hyp={hyps[0]!r} ref={refs[0]!r}")
+        return m

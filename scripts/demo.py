@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Workflow step 5 (ref: demo script — SURVEY.md §4.3): video -> transcript.
+
+End-to-end on one clip: decode (host) -> face detect -> 68-pt landmarks ->
+mouth ROI -> encoder -> decode (all on device), then print the transcript.
+
+Usage:
+  python scripts/demo.py preset=bigru-ctc workdir=runs/ctc video=clip.mp4
+  python scripts/demo.py preset=bigru-ctc workdir=runs/ctc fixture_seed=3
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from lipreading_tpu.config import parse_overrides, preset
+
+
+def main(argv):
+    args = parse_overrides(argv)
+    cfg = preset(args.pop("preset", "bigru-ctc"))
+    workdir = args.pop("workdir", f"runs/{cfg.name}")
+    video = args.pop("video", None)
+    fixture_seed = int(args.pop("fixture_seed", 3))
+    beam = int(args.pop("beam", cfg.train.beam_width))
+    if args:
+        cfg = cfg.override(**args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from lipreading_tpu.infer import transcribe
+    from lipreading_tpu.models.lipreader import init_model
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+    from lipreading_tpu.ops.preprocess import preprocess_padded
+    from lipreading_tpu.preproc_training import load_assets
+    from lipreading_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+
+    if video:
+        from lipreading_tpu.data.video import decode_video
+
+        frames, fps = decode_video(video)
+        ref = None
+    else:
+        from lipreading_tpu.fixtures import make_clip
+
+        clip = make_clip(fixture_seed, cfg.data)
+        frames, ref = clip.frames, clip.text
+
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    path = latest_checkpoint(os.path.join(workdir, "ckpt"))
+    if path:
+        _, params, _, _, _ = load_checkpoint(path, params)
+    else:
+        print("WARNING: no checkpoint; transcribing with random weights")
+
+    det_np, ert_np = load_assets()
+    det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+
+    t0 = time.perf_counter()
+    rois = preprocess_padded(det, ert, frames, cfg.preprocess)
+    import numpy as np
+    T = rois.shape[0]
+    padded = -(-T // 64) * 64
+    rois = np.pad(rois, ((0, padded - T), (0, 0), (0, 0)))
+    hyp = transcribe(params, cfg, rois[None], jnp.asarray([T]), beam=beam)[0]
+    dt = time.perf_counter() - t0
+    print(f"transcript: {hyp!r}")
+    if ref is not None:
+        from lipreading_tpu.metrics import cer
+
+        print(f"reference : {ref!r}  (CER {cer(hyp, ref):.3f})")
+    print(f"{len(frames)} frames in {dt:.2f}s "
+          f"({len(frames)/dt:.0f} frames/s incl. compile)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

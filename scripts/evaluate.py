@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Workflow step 4 (ref: eval script — SURVEY.md §4.3): CER/WER of a trained
+checkpoint on held-out fixture clips (or a dataview).
+
+Usage:
+  python scripts/evaluate.py preset=bigru-ctc workdir=runs/ctc \\
+      [ckpt=path] [n_clips=6] [seed=9090] [beam=8] [key=value...]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from lipreading_tpu.config import parse_overrides, preset
+
+
+def main(argv):
+    args = parse_overrides(argv)
+    cfg = preset(args.pop("preset", "bigru-ctc"))
+    workdir = args.pop("workdir", f"runs/{cfg.name}")
+    ckpt = args.pop("ckpt", None)
+    n_clips = int(args.pop("n_clips", 6))
+    seed = int(args.pop("seed", 9090))
+    beam = int(args.pop("beam", cfg.train.beam_width))
+    if args:
+        cfg = cfg.override(**args)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lipreading_tpu.infer import transcribe
+    from lipreading_tpu.metrics import cer, corpus_cer, corpus_wer
+    from lipreading_tpu.models.lipreader import init_model
+    from lipreading_tpu.fixtures import make_clip
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+    from lipreading_tpu.ops.preprocess import preprocess_padded
+    from lipreading_tpu.preproc_training import load_assets
+    from lipreading_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    path = ckpt or latest_checkpoint(os.path.join(workdir, "ckpt"))
+    if path:
+        _, params, _, _, _ = load_checkpoint(path, params)
+        print(f"loaded {path}")
+    else:
+        print("WARNING: no checkpoint found; evaluating random init")
+
+    det_np, ert_np = load_assets()
+    det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+
+    hyps, refs = [], []
+    for i in range(n_clips):
+        clip = make_clip(seed + i, cfg.data)
+        # bucket-padded preprocessing + decode: one compile per bucket shape
+        rois = preprocess_padded(det, ert, clip.frames, cfg.preprocess)
+        T = rois.shape[0]
+        padded = -(-T // 64) * 64
+        rois = np.pad(rois, ((0, padded - T), (0, 0), (0, 0)))
+        hyp = transcribe(
+            params, cfg, rois[None], jnp.asarray([T]), beam=beam
+        )[0]
+        hyps.append(hyp)
+        refs.append(clip.text)
+        print(f"  clip {i}: cer={cer(hyp, clip.text):.3f} "
+              f"hyp={hyp!r} ref={clip.text!r}")
+    print(f"corpus CER={corpus_cer(hyps, refs):.4f} "
+          f"WER={corpus_wer(hyps, refs):.4f}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

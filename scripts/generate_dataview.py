@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Workflow step 1-2 (ref: collection + generate_dataview.py run-book,
+SURVEY.md §4.4/§4.1): build a cached dataview from the fixture corpus (or
+real videos + .vtt captions via --video).
+
+Usage:
+  python scripts/generate_dataview.py out=data/dataviews/train n_clips=40 seed=1
+  python scripts/generate_dataview.py out=... video=clip.mp4 vtt=clip.vtt
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from lipreading_tpu.config import DataConfig, parse_overrides
+
+
+def main(argv):
+    args = parse_overrides(argv)
+    out = args.pop("out", "data/dataviews/train")
+    if "video" in args:
+        build_from_video(out, args)
+        return
+    n_clips = int(args.pop("n_clips", 40))
+    seed = int(args.pop("seed", 1))
+    gt = args.pop("gt_landmarks", "0") in ("1", "true")
+    from lipreading_tpu.data.dataview import build_fixture_dataview
+
+    view = build_fixture_dataview(
+        out, n_clips=n_clips, seed=seed, data_cfg=DataConfig(),
+        use_ground_truth_landmarks=gt,
+    )
+    print(f"wrote {len(view)} samples to {out}")
+
+
+def build_from_video(out, args):
+    """Real-video path: decode + device preprocessing + VTT alignment."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lipreading_tpu.config import DataConfig, PreprocessConfig
+    from lipreading_tpu.data.dataview import DataviewWriter, roi_to_u8
+    from lipreading_tpu.data.video import decode_video
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+    from lipreading_tpu.ops.preprocess import preprocess_frames
+    from lipreading_tpu.preproc_training import load_assets
+    from lipreading_tpu.vtt import align_cues_to_frames, parse_vtt
+
+    pre_cfg = PreprocessConfig()
+    det_np, ert_np = load_assets()
+    det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+    frames, fps = decode_video(args["video"])
+    writer = DataviewWriter(out, DataConfig(fps=fps), pre_cfg)
+    rois = []
+    for lo in range(0, len(frames), 256):
+        r = preprocess_frames(det, ert, jnp.asarray(frames[lo:lo + 256]), pre_cfg)
+        rois.append(np.asarray(r))
+    roi_u8 = roi_to_u8(np.concatenate(rois), pre_cfg)
+    cues = parse_vtt(open(args["vtt"]).read())
+    for j, (first, last, text) in enumerate(
+        align_cues_to_frames(cues, fps, len(frames))
+    ):
+        writer.add(f"video_cue{j:04d}", roi_u8[first:last], text)
+    writer.finalize()
+    print(f"wrote {len(writer.entries)} samples to {out}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

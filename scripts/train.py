@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Workflow step 3 (ref: train_model.py run-book — SURVEY.md §4.2).
+
+Usage:
+  python scripts/train.py preset=bigru-ctc workdir=runs/ctc \\
+      dataview=data/dataviews/train [steps=N] [resume=1] [fused=1] [key=value...]
+
+With fused=1 the dataview is ignored: training consumes raw fixture video
+frames and runs detection/landmarking/ROI on device inside the train step.
+Any dotted config path (train.learning_rate=1e-3, model.tf_dim=512, ...) can
+be overridden on the command line.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from lipreading_tpu.config import parse_overrides, preset
+
+
+def main(argv):
+    args = parse_overrides(argv)
+    cfg = preset(args.pop("preset", "bigru-ctc"))
+    workdir = args.pop("workdir", f"runs/{cfg.name}")
+    dataview_path = args.pop("dataview", None)
+    steps = int(args.pop("steps", 0)) or None
+    resume = args.pop("resume", "0") in ("1", "true")
+    fused = args.pop("fused", "0") in ("1", "true")
+    n_clips = int(args.pop("n_clips", 24))
+    data_seed = int(args.pop("data_seed", 1))
+    if args:
+        cfg = cfg.override(**args)
+
+    from lipreading_tpu.train.loop import FusedTrainer, Trainer
+
+    if fused:
+        from lipreading_tpu.data.pipeline import (
+            FixtureVideoDataset,
+            VideoBatchIterator,
+        )
+        from lipreading_tpu.ops.detector import params_to_jax
+        from lipreading_tpu.ops.ert import model_to_jax
+        from lipreading_tpu.preproc_training import load_assets
+
+        det_np, ert_np = load_assets()
+        ds = FixtureVideoDataset(n_clips, seed=data_seed, cfg=cfg.data)
+        it = VideoBatchIterator(ds, cfg.data.batch_size, seed=cfg.train.seed)
+        trainer = FusedTrainer(cfg, workdir, params_to_jax(det_np),
+                               model_to_jax(ert_np))
+        eval_batches = [ds.batch(list(range(min(8, len(ds)))),
+                                 max(cfg.data.time_buckets))]
+    else:
+        from lipreading_tpu.data.dataset import BatchIterator, BucketedDataset
+        from lipreading_tpu.data.dataview import Dataview, build_fixture_dataview
+
+        if dataview_path and os.path.exists(
+            os.path.join(dataview_path, "index.json")
+        ):
+            view = Dataview(dataview_path)
+        else:
+            dataview_path = dataview_path or os.path.join(workdir, "dataview")
+            print(f"building fixture dataview at {dataview_path} ...")
+            view = build_fixture_dataview(
+                dataview_path, n_clips=n_clips, seed=data_seed, data_cfg=cfg.data
+            )
+        ds = BucketedDataset(view, cfg.data)
+        it = BatchIterator(ds, cfg.data.batch_size, seed=cfg.train.seed)
+        trainer = Trainer(cfg, workdir)
+        eval_idx = list(range(min(8, len(ds))))
+        eval_batches = [ds.make_batch(eval_idx)]
+
+    if resume:
+        state = trainer.restore()
+        if state:
+            it = type(it).from_state(ds, cfg.data.batch_size, state) \
+                if hasattr(type(it), "from_state") else it
+            print(f"resumed at step {trainer.step}")
+
+    print(f"training {cfg.name} ({cfg.encoder}/{cfg.decoder}) on "
+          f"{len(ds)} samples, {trainer.mesh.devices.size} device(s)")
+    last = trainer.fit(it, steps=steps, eval_batches=eval_batches)
+    trainer.save(it)
+    print("final:", last)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,98 @@
+"""Fused input pipeline: on-device preprocessing inside the train step +
+async prefetch (BASELINE config 5)."""
+
+import numpy as np
+import pytest
+
+from lipreading_tpu.config import preset
+from lipreading_tpu.data.pipeline import (
+    FixtureVideoDataset,
+    Prefetcher,
+    VideoBatchIterator,
+    video_batch_to_device,
+)
+from lipreading_tpu.train.loop import FusedTrainer
+
+
+def tiny_cfg(dp=8):
+    cfg = preset("dp-v5e8")
+    cfg.model.frontend_channels = (4, 8, 12)
+    cfg.model.frontend_dim = 32
+    cfg.model.tf_layers = 1
+    cfg.model.tf_dec_layers = 1
+    cfg.model.tf_dim = 32
+    cfg.model.tf_heads = 2
+    cfg.model.tf_mlp = 64
+    cfg.model.dtype = "float32"
+    cfg.data.batch_size = 8
+    cfg.data.time_buckets = (16, 24, 32, 64)
+    cfg.mesh.data_parallel = dp
+    cfg.train.warmup_steps = 5
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def video_ds():
+    return FixtureVideoDataset(3, seed=5, cfg=tiny_cfg().data)
+
+
+@pytest.fixture(scope="module")
+def fused(video_ds, tmp_path_factory, assets):
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+
+    det_np, ert_np = assets
+    cfg = tiny_cfg()
+    return FusedTrainer(
+        cfg, str(tmp_path_factory.mktemp("fused")),
+        params_to_jax(det_np), model_to_jax(ert_np),
+    )
+
+
+def test_video_iterator_bucketed(video_ds):
+    it = VideoBatchIterator(video_ds, 4, seed=0)
+    b = next(it)
+    assert b.frames.dtype == np.uint8
+    assert b.frames.shape[0] == 4
+    assert b.frames.shape[1] in tiny_cfg().data.time_buckets
+
+
+def test_fused_dp8_step(fused, video_ds):
+    it = VideoBatchIterator(video_ds, 8, seed=0)
+    m1 = fused.train_step(next(it))
+    m2 = fused.train_step(next(it))
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+
+
+def test_fused_eval_decodes(fused, video_ds):
+    ev = [video_ds.batch(list(range(4)), 64)]
+    m = fused.evaluate(ev)
+    assert 0.0 <= m["eval_cer"]
+
+
+def test_prefetcher_overlap_and_order(video_ds):
+    it = VideoBatchIterator(video_ds, 4, seed=3)
+    want_texts = []
+    probe = VideoBatchIterator(video_ds, 4, seed=3)
+    for _ in range(4):
+        want_texts.append(tuple(next(probe).texts))
+    pf = Prefetcher(it, lambda b: video_batch_to_device(b), depth=2)
+    got = []
+    for _ in range(4):
+        dev, host = next(pf)
+        assert dev["frames"].shape[0] == 4
+        got.append(tuple(host.texts))
+    pf.close()
+    assert got == want_texts
+
+
+def test_prefetcher_propagates_errors():
+    def bad_iter():
+        yield 1
+        raise ValueError("decode failed")
+
+    pf = Prefetcher(bad_iter(), lambda x: x, depth=2)
+    next(pf)
+    with pytest.raises(ValueError, match="decode failed"):
+        next(pf)
+    pf.close()
