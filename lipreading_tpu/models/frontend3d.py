@@ -45,8 +45,12 @@ def frontend_init(key, cfg: ModelConfig):
     return p
 
 
-def frontend_apply(p, rois, dtype=None):
-    """[B, T, R, R] (or [B, T, R, R, 1]) -> [B, T, D] features."""
+def frontend_apply(p, rois, dtype=None, dropout_rng=None, rate=0.0):
+    """[B, T, R, R] (or [B, T, R, R, 1]) -> [B, T, D] features.
+
+    ``dropout_rng``: pass a key during training to enable dropout (rate from
+    ModelConfig); None disables (eval/inference).
+    """
     if rois.ndim == 4:
         rois = rois[..., None]
     x = rois.astype(dtype or jnp.float32)
@@ -64,4 +68,5 @@ def frontend_apply(p, rois, dtype=None):
     x = nn.dense(p["proj"], x, dtype=dtype)
     for hp in p["highway"]:
         x = nn.highway(hp, x, dtype=dtype)
+    x = nn.dropout(dropout_rng, x, rate, deterministic=dropout_rng is None)
     return x

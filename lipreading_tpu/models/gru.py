@@ -85,14 +85,23 @@ def bigru_init(key, in_dim: int, hidden: int, layers: int):
     return {"layers": params}
 
 
-def bigru(p, x, lengths, dtype=None):
+def bigru(p, x, lengths, dtype=None, dropout_rng=None, rate=0.0):
     """[B, T, in] + [B] lengths -> [B, T, 2H].
 
     The backward direction runs on length-aware reversed sequences so padding
-    never contaminates valid states (torch pack_padded semantics).
+    never contaminates valid states (torch pack_padded semantics). Dropout
+    (training only) applies between stacked layers, as torch.nn.GRU does.
     """
+    from lipreading_tpu.models.nn import dropout
+
     y = x
-    for lp in p["layers"]:
+    n = len(p["layers"])
+    keys = (jax.random.split(dropout_rng, n) if dropout_rng is not None
+            else [None] * n)
+    for i, lp in enumerate(p["layers"]):
+        if i > 0:
+            y = dropout(keys[i - 1], y, rate,
+                        deterministic=dropout_rng is None)
         f, _ = gru_layer(lp["fwd"], y, dtype=dtype)
         rev = flip_sequences(y, lengths)
         b, _ = gru_layer(lp["bwd"], rev, dtype=dtype)

@@ -55,21 +55,32 @@ def init_model(key, cfg: Config):
     return params
 
 
-def encode(params, cfg: Config, rois, frame_lengths, dtype=None):
-    """[B, T, R, R] + lengths -> [B, T, D] encoder states."""
+def encode(params, cfg: Config, rois, frame_lengths, dtype=None, rng=None):
+    """[B, T, R, R] + lengths -> [B, T, D] encoder states.
+
+    ``rng`` enables dropout (training); None = deterministic (eval).
+    """
     dtype = dtype or _act_dtype(cfg)
-    feats = frontend_apply(params["frontend"], rois, dtype=dtype)
+    rate = cfg.model.dropout
+    k1 = k2 = None
+    if rng is not None:
+        k1, k2 = jax.random.split(rng)
+    feats = frontend_apply(params["frontend"], rois, dtype=dtype,
+                           dropout_rng=k1, rate=rate)
     if cfg.encoder == "bigru":
-        return bigru(params["encoder"], feats, frame_lengths, dtype=dtype)
+        return bigru(params["encoder"], feats, frame_lengths, dtype=dtype,
+                     dropout_rng=k2, rate=rate)
     return tf.encoder_apply(params["encoder"], feats, frame_lengths,
-                            cfg.model.tf_heads, dtype=dtype)
+                            cfg.model.tf_heads, dtype=dtype,
+                            dropout_rng=k2, rate=rate)
 
 
 def ctc_logits(params, enc, dtype=None):
     return nn.dense(params["ctc_head"], enc, dtype=dtype).astype(jnp.float32)
 
 
-def attention_logits(params, cfg: Config, enc, enc_lengths, targets, dtype=None):
+def attention_logits(params, cfg: Config, enc, enc_lengths, targets,
+                     dtype=None, rng=None):
     """Teacher-forced next-token logits [B, L-1, V] for targets [B, L]."""
     dtype = dtype or _act_dtype(cfg)
     if cfg.encoder == "bigru":
@@ -79,6 +90,7 @@ def attention_logits(params, cfg: Config, enc, enc_lengths, targets, dtype=None)
     return tf.decoder_apply(
         params["att_decoder"], targets[:, :-1], enc, enc_lengths,
         cfg.model.tf_heads, dtype=dtype,
+        dropout_rng=rng, rate=cfg.model.dropout,
     )
 
 
@@ -92,7 +104,7 @@ def cross_entropy_loss(logits, targets_out, target_lengths, pad_id=0):
     return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
-def compute_loss(params, cfg: Config, batch, train: bool = True):
+def compute_loss(params, cfg: Config, batch, train: bool = True, rng=None):
     """Full hybrid loss over a batch dict:
 
         rois           [B, T, R, R]  normalized float
@@ -105,7 +117,10 @@ def compute_loss(params, cfg: Config, batch, train: bool = True):
     Returns (loss, metrics dict).
     """
     t = cfg.train
-    enc = encode(params, cfg, batch["rois"], batch["frame_lengths"])
+    k_enc = k_dec = None
+    if rng is not None and train:
+        k_enc, k_dec = jax.random.split(rng)
+    enc = encode(params, cfg, batch["rois"], batch["frame_lengths"], rng=k_enc)
     metrics = {}
     loss = 0.0
     if cfg.decoder in ("ctc", "hybrid"):
@@ -120,7 +135,8 @@ def compute_loss(params, cfg: Config, batch, train: bool = True):
         metrics["ctc_loss"] = lc
     if cfg.decoder in ("attention", "hybrid"):
         att = attention_logits(
-            params, cfg, enc, batch["frame_lengths"], batch["targets"]
+            params, cfg, enc, batch["frame_lengths"], batch["targets"],
+            rng=k_dec,
         )
         la = cross_entropy_loss(att, batch["targets"][:, 1:],
                                 batch["target_lengths"])

@@ -97,17 +97,26 @@ def encoder_init(key, cfg: ModelConfig, in_dim: int):
     }
 
 
-def encoder_apply(p, x, lengths, heads: int, dtype=None):
+def encoder_apply(p, x, lengths, heads: int, dtype=None,
+                  dropout_rng=None, rate=0.0):
     """[B, T, in] -> [B, T, tf_dim]; self-attention masked to valid frames."""
     B, T, _ = x.shape
+    det = dropout_rng is None
+
+    def drop(k, v):
+        return nn.dropout(k, v, rate, deterministic=det)
+
+    keys = (jax.random.split(dropout_rng, 2 * len(p["layers"]))
+            if not det else [None] * (2 * len(p["layers"])))
     h = nn.dense(p["proj"], x, dtype)
     h = h + p["pos"][:T][None].astype(h.dtype)
     valid = nn.length_mask(lengths, T)                     # [B, T]
     mask = valid[:, None, None, :]                         # [B, 1, 1(Tq), Tk]
-    for lp in p["layers"]:
+    for i, lp in enumerate(p["layers"]):
         hn = nn.layernorm(lp["ln1"], h)
-        h = h + mha(lp["attn"], hn, hn, mask, heads, dtype)
-        h = h + mlp(lp["mlp"], nn.layernorm(lp["ln2"], h), dtype)
+        h = h + drop(keys[2 * i], mha(lp["attn"], hn, hn, mask, heads, dtype))
+        h = h + drop(keys[2 * i + 1],
+                     mlp(lp["mlp"], nn.layernorm(lp["ln2"], h), dtype))
     return nn.layernorm(p["ln_out"], h)
 
 
@@ -124,20 +133,30 @@ def decoder_init(key, cfg: ModelConfig):
     }
 
 
-def decoder_apply(p, targets_in, enc, enc_lengths, heads: int, dtype=None):
+def decoder_apply(p, targets_in, enc, enc_lengths, heads: int, dtype=None,
+                  dropout_rng=None, rate=0.0):
     """Teacher-forced pass: [B, L] ids -> [B, L, V] next-token logits."""
     B, L = targets_in.shape
     T = enc.shape[1]
+    det = dropout_rng is None
+
+    def drop(k, v):
+        return nn.dropout(k, v, rate, deterministic=det)
+
+    keys = (jax.random.split(dropout_rng, 3 * len(p["layers"]))
+            if not det else [None] * (3 * len(p["layers"])))
     h = nn.embedding(p["embed"], targets_in, dtype) * math.sqrt(enc.shape[-1])
     h = h + p["pos"][:L][None].astype(h.dtype)
     causal = jnp.tril(jnp.ones((L, L), bool))[None, None]  # [1, 1, L, L]
     enc_mask = nn.length_mask(enc_lengths, T)[:, None, None, :]
-    for lp in p["layers"]:
+    for i, lp in enumerate(p["layers"]):
         hn = nn.layernorm(lp["ln1"], h)
-        h = h + mha(lp["self"], hn, hn, causal, heads, dtype)
-        h = h + mha(lp["cross"], nn.layernorm(lp["ln2"], h), enc, enc_mask,
-                    heads, dtype)
-        h = h + mlp(lp["mlp"], nn.layernorm(lp["ln3"], h), dtype)
+        h = h + drop(keys[3 * i], mha(lp["self"], hn, hn, causal, heads, dtype))
+        h = h + drop(keys[3 * i + 1],
+                     mha(lp["cross"], nn.layernorm(lp["ln2"], h), enc,
+                         enc_mask, heads, dtype))
+        h = h + drop(keys[3 * i + 2],
+                     mlp(lp["mlp"], nn.layernorm(lp["ln3"], h), dtype))
     h = nn.layernorm(p["ln_out"], h)
     return nn.dense(p["out"], h, dtype).astype(jnp.float32)
 

@@ -64,6 +64,11 @@ class Trainer:
         self.logger = MetricsLogger(os.path.join(workdir, "logs"))
 
         key = jax.random.PRNGKey(cfg.train.seed if seed is None else seed)
+        # dropout keys derive from the CONFIG seed (not the init seed) and the
+        # step index, so a restored run replays identical dropout masks
+        self._dropout_key = jax.random.fold_in(
+            jax.random.PRNGKey(cfg.train.seed), 0x0D0
+        )
         self.params = replicate(init_model(key, cfg), self.mesh)
         self.tx = make_optimizer(cfg)
         self.opt_state = replicate(self.tx.init(self.params), self.mesh)
@@ -75,9 +80,9 @@ class Trainer:
         bsh = batch_sharding(self.mesh)
         rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
 
-        def step_fn(params, opt_state, batch):
+        def step_fn(params, opt_state, batch, rng):
             def loss_fn(p):
-                return compute_loss(p, cfg, batch, train=True)
+                return compute_loss(p, cfg, batch, train=True, rng=rng)
 
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -93,7 +98,7 @@ class Trainer:
         }
         return jax.jit(
             step_fn,
-            in_shardings=(rep, rep, batch_shardings),
+            in_shardings=(rep, rep, batch_shardings, rep),
             out_shardings=(rep, rep, rep),
             donate_argnums=(0, 1),
         )
@@ -103,8 +108,9 @@ class Trainer:
             batch, self.cfg.preprocess.normalize_mean,
             self.cfg.preprocess.normalize_std,
         )
+        rng = jax.random.fold_in(self._dropout_key, self.step)
         self.params, self.opt_state, metrics = self._jit_step(
-            self.params, self.opt_state, dev_batch
+            self.params, self.opt_state, dev_batch, rng
         )
         self.step += 1
         return metrics
@@ -206,13 +212,13 @@ class FusedTrainer(Trainer):
         bsh = batch_sharding(self.mesh)
         rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
 
-        def step_fn(params, opt_state, det, ert, batch):
+        def step_fn(params, opt_state, det, ert, batch, rng):
             def loss_fn(p):
                 rois = preprocess_clips(det, ert, batch["frames"],
                                         cfg.preprocess)
                 model_batch = dict(batch, rois=rois)
                 del model_batch["frames"]
-                return compute_loss(p, cfg, model_batch, train=True)
+                return compute_loss(p, cfg, model_batch, train=True, rng=rng)
 
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -228,7 +234,7 @@ class FusedTrainer(Trainer):
         }
         return jax.jit(
             step_fn,
-            in_shardings=(rep, rep, rep, rep, batch_shardings),
+            in_shardings=(rep, rep, rep, rep, batch_shardings, rep),
             out_shardings=(rep, rep, rep),
             donate_argnums=(0, 1),
         )
@@ -237,8 +243,9 @@ class FusedTrainer(Trainer):
         from lipreading_tpu.data.pipeline import video_batch_to_device
 
         dev = video_batch_to_device(batch, batch_sharding(self.mesh))
+        rng = jax.random.fold_in(self._dropout_key, self.step)
         self.params, self.opt_state, metrics = self._jit_step(
-            self.params, self.opt_state, self._det, self._ert, dev
+            self.params, self.opt_state, self._det, self._ert, dev, rng
         )
         self.step += 1
         return metrics
