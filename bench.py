@@ -62,6 +62,49 @@ def main():
     roi_dev = np.asarray(pre(jnp.asarray(clips[0].frames[:48])))
     max_diff = float(np.abs(roi_dev - oracle.roi).max())
 
+    # end-to-end video -> ROI -> transcript (BASELINE.json:2 headline metric):
+    # preprocess + 3D-CNN + bi-GRU encoder + greedy CTC decode, one program
+    e2e_fps = None
+    try:
+        import jax.numpy as jnp2  # noqa: F401
+
+        from lipreading_tpu.config import preset
+        from lipreading_tpu.models.lipreader import ctc_logits as ctc_head
+        from lipreading_tpu.models.lipreader import encode, init_model
+        from lipreading_tpu.ops.decode import ctc_greedy_ids
+        from lipreading_tpu.train.checkpoint import (
+            latest_checkpoint,
+            load_checkpoint,
+        )
+
+        cfg = preset("bigru-ctc")
+        params = init_model(jax.random.PRNGKey(0), cfg)
+        ck = latest_checkpoint("runs/ctc/ckpt")
+        if ck:
+            _, params, _, _, _ = load_checkpoint(ck, params)
+
+        Tc = 64
+        B = n // Tc
+        clip_stack = jnp.asarray(frames[: B * Tc].reshape(B, Tc, *frames.shape[1:]))
+        lengths = jnp.full((B,), Tc, jnp.int32)
+
+        @jax.jit
+        def e2e(fr):
+            rois = preprocess_frames(det, ert, fr.reshape(-1, *fr.shape[2:]),
+                                     pre_cfg)
+            rois = rois.reshape(B, Tc, pre_cfg.roi_size, pre_cfg.roi_size)
+            enc = encode(params, cfg, rois, lengths)
+            return ctc_greedy_ids(ctc_head(params, enc), lengths)
+
+        jax.block_until_ready(e2e(clip_stack))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out2 = e2e(clip_stack)
+        jax.block_until_ready(out2)
+        e2e_fps = B * Tc * reps / (time.perf_counter() - t0)
+    except Exception as e:
+        print(f"# e2e bench skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "preprocess_fps_per_chip",
         "value": round(tpu_fps, 1),
@@ -69,6 +112,7 @@ def main():
         "vs_baseline": round(tpu_fps / cpu_fps, 2),
         "cpu_oracle_fps": round(cpu_fps, 1),
         "parity_max_diff": max_diff,
+        "e2e_video_to_transcript_fps": round(e2e_fps, 1) if e2e_fps else None,
         "backend": backend,
         "batch_frames": n,
     }))

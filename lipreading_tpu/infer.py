@@ -64,8 +64,9 @@ def _attention_step_fn(params, cfg: Config, enc, enc_lengths, dtype):
 def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None):
     """[B, T, R, R] -> (ids [B, L], lengths [B]) on device.
 
-    Strategy: CTC greedy for decoder="ctc"; attention greedy (beam in (0, 1))
-    or beam search otherwise.
+    Strategy: CTC greedy for decoder="ctc" (beam <= 1; prefix beam search is
+    dispatched host-side by ``transcribe``); attention greedy (beam in
+    (0, 1)) or batched device beam search otherwise.
     """
     dtype = _act_dtype(cfg)
     vocab = Vocab()
@@ -104,11 +105,37 @@ def _decode_jit(cfg: Config, beam: int):
     return _JIT_CACHE[key]
 
 
+def ctc_log_probs(params, cfg: Config, rois, frame_lengths):
+    """[B, T, R, R] -> [B, T, V] log-posteriors (CTC head)."""
+    enc = encode(params, cfg, rois, frame_lengths, _act_dtype(cfg))
+    return jax.nn.log_softmax(ctc_logits(params, enc), axis=-1)
+
+
 def transcribe(params, cfg: Config, rois, frame_lengths,
                beam: int | None = None, vocab: Vocab | None = None) -> list[str]:
     """Batch of ROI sequences -> transcripts (host strings)."""
     vocab = vocab or Vocab()
     beam = cfg.train.beam_width if beam is None else beam
+    if cfg.decoder == "ctc" and beam > 1:
+        # CTC prefix beam search: posteriors on device, beam on host
+        # (mirrors the reference's Python beam loop — SURVEY.md §4.3)
+        from lipreading_tpu.ops.ctc_beam import ctc_beam_decode_batch
+
+        import json as _json
+
+        key = ("ctc_lp", _json.dumps(cfg.to_dict(), sort_keys=True, default=str))
+        if key not in _JIT_CACHE:
+            _JIT_CACHE[key] = jax.jit(
+                lambda p, r, l: ctc_log_probs(p, cfg, r, l)
+            )
+        lp = np.asarray(_JIT_CACHE[key](
+            params, jnp.asarray(rois), jnp.asarray(frame_lengths)
+        ))
+        seqs = ctc_beam_decode_batch(
+            lp, np.asarray(frame_lengths), beam_width=beam,
+            blank=vocab.blank_id,
+        )
+        return [vocab.decode(s) for s in seqs]
     ids, lengths = _decode_jit(cfg, beam)(
         params, jnp.asarray(rois), jnp.asarray(frame_lengths)
     )

@@ -115,3 +115,19 @@ def test_beam_not_worse_than_greedy():
     g_s = np.asarray(seq_logp(g_ids, jnp.minimum(g_len + 1, 8)))
     b_s = np.asarray(seq_logp(b_ids, jnp.minimum(b_len + 1, 8)))
     assert (b_s >= g_s - 1e-4).all(), (b_s, g_s)
+
+
+def test_ctc_beam_transcribe_path():
+    """transcribe() with decoder=ctc and beam>1 uses prefix beam search."""
+    from lipreading_tpu.infer import transcribe
+
+    cfg = tiny(preset("bigru-ctc"))
+    params = init_model(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(5)
+    rois = jnp.asarray(rng.normal(0, 1, (2, 10, 96, 96)).astype(np.float32))
+    lengths = jnp.asarray([10, 8])
+    greedy = transcribe(params, cfg, rois, lengths, beam=1)
+    beamed = transcribe(params, cfg, rois, lengths, beam=8)
+    assert len(beamed) == 2 and all(isinstance(s, str) for s in beamed)
+    # both decode the same random model; outputs may differ but must exist
+    assert isinstance(greedy[0], str)
