@@ -24,7 +24,7 @@ from lipreading_tpu.models.attention import attn_decoder_init, teacher_forced_lo
 from lipreading_tpu.models.frontend3d import frontend_apply, frontend_init
 from lipreading_tpu.models.gru import bigru, bigru_init
 from lipreading_tpu.models import transformer as tf
-from lipreading_tpu.ops.ctc import ctc_loss
+from lipreading_tpu.ops.ctc import ctc_loss_best
 
 
 def _act_dtype(cfg: Config):
@@ -125,7 +125,7 @@ def compute_loss(params, cfg: Config, batch, train: bool = True, rng=None):
     loss = 0.0
     if cfg.decoder in ("ctc", "hybrid"):
         logits = ctc_logits(params, enc)
-        nll = ctc_loss(
+        nll = ctc_loss_best(
             logits, batch["ctc_labels"], batch["frame_lengths"],
             batch["ctc_lengths"],
         )

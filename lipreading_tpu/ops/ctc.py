@@ -89,3 +89,19 @@ def ctc_loss_mean(logits, labels, input_lengths, label_lengths, blank: int = 0):
     nll = ctc_loss(logits, labels, input_lengths, label_lengths, blank)
     denom = jnp.maximum(label_lengths.astype(jnp.float32), 1.0)
     return jnp.mean(nll / denom)
+
+
+def ctc_loss_best(logits, labels, input_lengths, label_lengths, blank: int = 0):
+    """Backend dispatch: Pallas lattice kernels on TPU, lax.scan elsewhere.
+
+    Both paths are numerically validated against each other and against
+    torch.nn.CTCLoss (tests/test_ctc.py, tests/test_ctc_pallas.py).
+    """
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from lipreading_tpu.ops.ctc_pallas import ctc_loss_pallas
+
+        return ctc_loss_pallas(logits, labels, input_lengths, label_lengths,
+                               blank)
+    return ctc_loss(logits, labels, input_lengths, label_lengths, blank)
