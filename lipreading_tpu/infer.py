@@ -74,6 +74,11 @@ def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None
     B = enc.shape[0]
     if cfg.decoder == "ctc":
         logits = ctc_logits(params, enc)
+        if jax.default_backend() == "tpu":
+            from lipreading_tpu.ops.decode_pallas import ctc_greedy_ids_pallas
+
+            return ctc_greedy_ids_pallas(logits, frame_lengths,
+                                         blank=vocab.blank_id)
         return ctc_greedy_ids(logits, frame_lengths, blank=vocab.blank_id)
 
     beam = cfg.train.beam_width if beam is None else beam
