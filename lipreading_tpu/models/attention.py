@@ -61,21 +61,38 @@ def decoder_step(p, h, token, enc, enc_proj, enc_mask, dtype=None):
     return h, logits.astype(jnp.float32)
 
 
-def teacher_forced_logits(p, enc, enc_lengths, targets, dtype=None):
+def teacher_forced_logits(p, enc, enc_lengths, targets, dtype=None,
+                          teacher_forcing: float = 1.0, rng=None):
     """Training pass: [B, T, D] encoder states + [B, L] target ids (sos-framed)
     -> [B, L-1, V] next-token logits (positions 1..L-1).
+
+    ``teacher_forcing`` < 1 enables scheduled sampling (the reference's
+    AttnDecoder draws a teacher-forcing coin per step — SURVEY.md §3): with
+    prob (1 - ratio) the decoder consumes its own argmax prediction instead
+    of the ground-truth token. Requires ``rng``.
     """
     B, T, _ = enc.shape
     enc_mask = nn.length_mask(enc_lengths, T)
     enc_proj = precompute_attention(p, enc, dtype)
     H = p["gru"]["w_hh"].shape[0]
     h0 = jnp.zeros((B, H), enc.dtype)
+    use_ss = teacher_forcing < 1.0 and rng is not None
 
-    def step(h, tok):
+    def step(carry, xs):
+        h, prev_pred = carry
+        tok, key = xs
+        if use_ss:
+            coin = jax.random.uniform(key, (B,))
+            tok = jnp.where(coin < teacher_forcing, tok, prev_pred)
         h, logits = decoder_step(p, h, tok, enc, enc_proj, enc_mask, dtype)
-        return h, logits
+        pred = jnp.argmax(logits, axis=-1).astype(targets.dtype)
+        return (h, pred), logits
 
     # inputs are targets[:, :-1] (sos..last-1); predictions align to 1..L-1
     toks = jnp.moveaxis(targets[:, :-1], 1, 0)             # [L-1, B]
-    _, logits = jax.lax.scan(step, h0, toks)
+    L1 = toks.shape[0]
+    keys = (jax.random.split(rng, L1) if use_ss
+            else jnp.zeros((L1, 2), jnp.uint32))
+    prev0 = jnp.full((B,), 0, targets.dtype)
+    (_, _), logits = jax.lax.scan(step, (h0, prev0), (toks, keys))
     return jnp.moveaxis(logits, 0, 1)                      # [B, L-1, V]

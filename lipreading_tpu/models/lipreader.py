@@ -85,7 +85,8 @@ def attention_logits(params, cfg: Config, enc, enc_lengths, targets,
     dtype = dtype or _act_dtype(cfg)
     if cfg.encoder == "bigru":
         return teacher_forced_logits(
-            params["att_decoder"], enc, enc_lengths, targets, dtype=dtype
+            params["att_decoder"], enc, enc_lengths, targets, dtype=dtype,
+            teacher_forcing=cfg.train.teacher_forcing, rng=rng,
         )
     return tf.decoder_apply(
         params["att_decoder"], targets[:, :-1], enc, enc_lengths,

@@ -46,3 +46,22 @@ def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
 
 def param_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def shard_host_local_batch(batch, mesh: Mesh, data_axis: str = "data"):
+    """Multi-host input sharding: each host contributes its LOCAL batch shard
+    and the result is a global array sharded over the data axis.
+
+    On a single-host mesh this reduces to shard_batch. On multi-host slices
+    (e.g. v5e-16+), each host's input pipeline loads only its 1/num_hosts of
+    the global batch (SURVEY.md §5 "per-host input sharding") and
+    jax.make_array_from_process_local_data assembles the global view without
+    any cross-host data movement.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh, data_axis)
+    s = batch_sharding(mesh, data_axis)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        batch,
+    )

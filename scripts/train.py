@@ -47,8 +47,9 @@ def main(argv):
         it = VideoBatchIterator(ds, cfg.data.batch_size, seed=cfg.train.seed)
         trainer = FusedTrainer(cfg, workdir, params_to_jax(det_np),
                                model_to_jax(ert_np))
-        eval_batches = [ds.batch(list(range(min(8, len(ds)))),
-                                 max(cfg.data.time_buckets))]
+        heldout = FixtureVideoDataset(4, seed=data_seed + 999_983, cfg=cfg.data)
+        eval_batches = [heldout.batch(list(range(min(8, len(heldout)))),
+                                      max(cfg.data.time_buckets))]
     else:
         from lipreading_tpu.data.dataset import BatchIterator, BucketedDataset
         from lipreading_tpu.data.dataview import Dataview, build_fixture_dataview
@@ -66,8 +67,16 @@ def main(argv):
         ds = BucketedDataset(view, cfg.data)
         it = BatchIterator(ds, cfg.data.batch_size, seed=cfg.train.seed)
         trainer = Trainer(cfg, workdir)
-        eval_idx = list(range(min(8, len(ds))))
-        eval_batches = [ds.make_batch(eval_idx)]
+        # held-out eval: fresh clips from a disjoint seed range
+        ho_path = os.path.join(workdir, "dataview_heldout")
+        if not os.path.exists(os.path.join(ho_path, "index.json")):
+            ho_view = build_fixture_dataview(
+                ho_path, n_clips=4, seed=data_seed + 999_983, data_cfg=cfg.data
+            )
+        else:
+            ho_view = Dataview(ho_path)
+        ho_ds = BucketedDataset(ho_view, cfg.data)
+        eval_batches = [ho_ds.make_batch(list(range(min(8, len(ho_ds)))))]
 
     if resume:
         state = trainer.restore()
