@@ -49,15 +49,19 @@ class BucketedDataset:
         cfg: DataConfig,
         vocab: Vocab | None = None,
         max_chars: int | None = None,
+        indices: list[int] | None = None,
     ):
         self.view = view
         self.cfg = cfg
         self.vocab = vocab or Vocab()
         self.max_chars = max_chars or cfg.max_chars
         self.buckets = tuple(sorted(cfg.time_buckets))
-        # precompute bucket assignment per sample
+        # optional split restriction (data/dataview.split_by_clip)
+        self.indices = list(indices) if indices is not None \
+            else list(range(len(view)))
+        # precompute bucket assignment per retained sample
         self.sample_bucket = np.asarray(
-            [self._bucket_for(view.num_frames(i)) for i in range(len(view))]
+            [self._bucket_for(view.num_frames(i)) for i in self.indices]
         )
 
     def _bucket_for(self, t: int) -> int:
@@ -67,9 +71,10 @@ class BucketedDataset:
         return self.buckets[-1]
 
     def __len__(self) -> int:
-        return len(self.view)
+        return len(self.indices)
 
     def make_batch(self, indices: list[int]) -> Batch:
+        """indices are positions within this (possibly split) dataset."""
         tb = int(max(self.sample_bucket[i] for i in indices))
         B = len(indices)
         R = self.view.meta["roi_size"]
@@ -82,11 +87,12 @@ class BucketedDataset:
         cl = np.zeros((B,), np.int32)
         texts = []
         for k, i in enumerate(indices):
-            roi = self.view.roi_u8(i)
+            vi = self.indices[i]
+            roi = self.view.roi_u8(vi)
             t = min(roi.shape[0], tb)
             rois[k, :t] = roi[:t]
             fl[k] = t
-            text = self.view.text(i)
+            text = self.view.text(vi)
             ids = self.vocab.encode(text)[: L - 2]
             text = self.vocab.decode(ids)
             targets[k], tl[k] = self.vocab.encode_target(text, L)

@@ -154,3 +154,43 @@ def build_fixture_dataview(
 
     writer.finalize()
     return Dataview(out_dir)
+
+
+def clip_id_of(sample: dict) -> str:
+    """Sample index entry -> owning clip id (prefix of the sample id)."""
+    return sample["file"].rsplit("_", 1)[0]
+
+
+def split_by_clip(
+    view: Dataview, fractions: dict[str, float], seed: int = 0
+) -> dict[str, list[int]]:
+    """Partition sample indices into named splits BY CLIP (the reference
+    splits by video so cue samples from one video never straddle train/val —
+    SURVEY.md §3 "Dataview builder").
+
+    fractions: e.g. {"train": 0.9, "val": 0.1}; must sum to ~1.
+    """
+    import numpy as _np
+
+    clips = sorted({clip_id_of(s) for s in view.samples})
+    rng = _np.random.default_rng(_np.random.SeedSequence([0x5B117, seed]))
+    order = [clips[i] for i in rng.permutation(len(clips))]
+    out: dict[str, list[int]] = {}
+    lo = 0.0
+    bounds = []
+    for name, frac in fractions.items():
+        bounds.append((name, lo, lo + frac))
+        lo += frac
+    assignment = {}
+    for j, c in enumerate(order):
+        u = (j + 0.5) / len(order)
+        for name, a, b in bounds:
+            if a <= u < b or (name == bounds[-1][0] and u >= b):
+                assignment[c] = name
+                break
+    for name, _, _ in bounds:
+        out[name] = [
+            i for i, s in enumerate(view.samples)
+            if assignment.get(clip_id_of(s)) == name
+        ]
+    return out

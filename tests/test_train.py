@@ -137,3 +137,27 @@ def test_metrics_jsonl_written(dataview, tmp_path):
 
     recs = [json.loads(line) for line in open(log)]
     assert any("loss" in r for r in recs)
+
+
+def test_split_by_clip(dataview):
+    from lipreading_tpu.data.dataview import clip_id_of, split_by_clip
+
+    splits = split_by_clip(dataview, {"train": 0.5, "val": 0.5}, seed=0)
+    assert set(splits) == {"train", "val"}
+    assert sorted(splits["train"] + splits["val"]) == list(range(len(dataview)))
+    # no clip straddles splits
+    tr_clips = {clip_id_of(dataview.samples[i]) for i in splits["train"]}
+    va_clips = {clip_id_of(dataview.samples[i]) for i in splits["val"]}
+    assert not (tr_clips & va_clips)
+
+
+def test_bucketed_dataset_split_subset(dataview):
+    from lipreading_tpu.data.dataview import split_by_clip
+
+    cfg = tiny_cfg()
+    splits = split_by_clip(dataview, {"train": 0.5, "val": 0.5}, seed=0)
+    ds = BucketedDataset(dataview, cfg.data, indices=splits["train"])
+    assert len(ds) == len(splits["train"])
+    b = ds.make_batch(list(range(min(2, len(ds)))))
+    want = {dataview.text(i) for i in splits["train"]}
+    assert set(b.texts) <= want
