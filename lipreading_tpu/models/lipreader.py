@@ -65,8 +65,17 @@ def encode(params, cfg: Config, rois, frame_lengths, dtype=None, rng=None):
     k1 = k2 = None
     if rng is not None:
         k1, k2 = jax.random.split(rng)
-    feats = frontend_apply(params["frontend"], rois, dtype=dtype,
-                           dropout_rng=k1, rate=rate)
+    if cfg.train.remat:
+        # rematerialize the conv stack on the backward pass: trades ~20%
+        # frontend FLOPs for not holding [B, T, 48, 48, C] activations in HBM.
+        # dtype/rate stay closure constants (static under the checkpoint).
+        def _frontend(fp, r, k):
+            return frontend_apply(fp, r, dtype, dropout_rng=k, rate=rate)
+
+        feats = jax.checkpoint(_frontend)(params["frontend"], rois, k1)
+    else:
+        feats = frontend_apply(params["frontend"], rois, dtype,
+                               dropout_rng=k1, rate=rate)
     if cfg.encoder == "bigru":
         return bigru(params["encoder"], feats, frame_lengths, dtype=dtype,
                      dropout_rng=k2, rate=rate)

@@ -131,3 +131,23 @@ def test_ctc_beam_transcribe_path():
     assert len(beamed) == 2 and all(isinstance(s, str) for s in beamed)
     # both decode the same random model; outputs may differ but must exist
     assert isinstance(greedy[0], str)
+
+
+def test_remat_matches_no_remat(batch):
+    """jax.checkpoint on the frontend must not change loss or grads."""
+    import dataclasses
+
+    cfg = tiny(preset("bigru-ctc"))
+    params = init_model(jax.random.PRNGKey(6), cfg)
+    cfg_r = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, remat=True))
+    l0, g0 = jax.value_and_grad(
+        lambda p: compute_loss(p, cfg, batch)[0]
+    )(params)
+    l1, g1 = jax.value_and_grad(
+        lambda p: compute_loss(p, cfg_r, batch)[0]
+    )(params)
+    assert abs(float(l0) - float(l1)) < 1e-6
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
