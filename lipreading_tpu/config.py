@@ -128,6 +128,47 @@ class Config:
         return dataclasses.asdict(self)
 
 
+def from_dict(d: dict) -> Config:
+    """Rebuild a Config from to_dict() output (workdir/config.json)."""
+    def build(cls, sub):
+        kwargs = {}
+        for f in fields(cls):
+            if f.name not in sub:
+                continue
+            v = sub[f.name]
+            if is_dataclass(f.type) if isinstance(f.type, type) else False:
+                kwargs[f.name] = build(f.type, v)
+            elif isinstance(v, list):
+                kwargs[f.name] = tuple(v)
+            else:
+                kwargs[f.name] = v
+        return cls(**kwargs)
+
+    cfg = Config(
+        name=d.get("name", "default"),
+        data=build(DataConfig, d.get("data", {})),
+        preprocess=build(PreprocessConfig, d.get("preprocess", {})),
+        model=build(ModelConfig, d.get("model", {})),
+        train=build(TrainConfig, d.get("train", {})),
+        mesh=build(MeshConfig, d.get("mesh", {})),
+        encoder=d.get("encoder", "bigru"),
+        decoder=d.get("decoder", "ctc"),
+    )
+    return cfg
+
+
+def load_workdir_config(workdir: str) -> Config | None:
+    """Load the config snapshot a Trainer wrote, if present."""
+    import json
+    import os
+
+    path = os.path.join(workdir, "config.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return from_dict(json.load(f))
+
+
 def _coerce(value: Any, like: Any) -> Any:
     t = type(like)
     if t is bool:

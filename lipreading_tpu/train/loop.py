@@ -59,6 +59,12 @@ class Trainer:
         self.cfg = cfg
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
+        # persist the exact config so eval/demo can reconstruct the model
+        # without re-specifying presets/overrides (ref keeps no such record)
+        import json as _json
+
+        with open(os.path.join(workdir, "config.json"), "w") as f:
+            _json.dump(cfg.to_dict(), f, indent=1, default=str)
         self.vocab = Vocab()
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
         self.logger = MetricsLogger(os.path.join(workdir, "logs"))

@@ -14,13 +14,15 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from lipreading_tpu.config import parse_overrides, preset
+from lipreading_tpu.config import load_workdir_config, parse_overrides, preset
 
 
 def main(argv):
     args = parse_overrides(argv)
-    cfg = preset(args.pop("preset", "bigru-ctc"))
-    workdir = args.pop("workdir", f"runs/{cfg.name}")
+    preset_name = args.pop("preset", "bigru-ctc")
+    workdir = args.pop("workdir", f"runs/{preset_name}")
+    # the Trainer snapshots its exact config; prefer it over the preset
+    cfg = load_workdir_config(workdir) or preset(preset_name)
     video = args.pop("video", None)
     fixture_seed = int(args.pop("fixture_seed", 3))
     beam = int(args.pop("beam", cfg.train.beam_width))

@@ -11,13 +11,15 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from lipreading_tpu.config import parse_overrides, preset
+from lipreading_tpu.config import load_workdir_config, parse_overrides, preset
 
 
 def main(argv):
     args = parse_overrides(argv)
-    cfg = preset(args.pop("preset", "bigru-ctc"))
-    workdir = args.pop("workdir", f"runs/{cfg.name}")
+    preset_name = args.pop("preset", "bigru-ctc")
+    workdir = args.pop("workdir", f"runs/{preset_name}")
+    # the Trainer snapshots its exact config; prefer it over the preset
+    cfg = load_workdir_config(workdir) or preset(preset_name)
     ckpt = args.pop("ckpt", None)
     n_clips = int(args.pop("n_clips", 6))
     seed = int(args.pop("seed", 9090))
