@@ -65,3 +65,55 @@ def shard_host_local_batch(batch, mesh: Mesh, data_axis: str = "data"):
         lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
         batch,
     )
+
+
+def model_param_shardings(params, mesh: Mesh, cfg=None,
+                          model_axis: str = "model"):
+    """Tensor-parallel NamedSharding tree for the model params.
+
+    GSPMD-style TP: only *annotations* — the XLA partitioner inserts the
+    all-reduces. Sharded over the ``model`` axis:
+
+    * transformer MLP: in-proj columns / out-proj rows (megatron layout, so
+      the pair needs a single psum at the block end);
+    * attention q/k/v columns (head-parallel) / output-proj rows;
+    * embedding + vocab output columns.
+
+    Everything else (frontend convs, GRU, norms, biases) replicates — those
+    layers are small; DP covers them. With model_parallel == 1 this
+    degenerates to full replication.
+    """
+    rep = NamedSharding(mesh, P())
+    col = NamedSharding(mesh, P(None, model_axis))   # shard output features
+    row = NamedSharding(mesh, P(model_axis, None))   # shard input features
+
+    def dense_s(kind):
+        # {"w": [in, out], "b": [out]}
+        if kind == "col":
+            return {"w": col, "b": NamedSharding(mesh, P(model_axis))}
+        return {"w": row, "b": rep}
+
+    # walk the tree by structure instead of per-leaf paths: simpler + robust
+    import jax
+
+    def map_tf_layer(lp):
+        out = jax.tree.map(lambda _: rep, lp)
+        for attn_key in ("attn", "self", "cross"):
+            if attn_key in lp:
+                out[attn_key] = {
+                    "q": dense_s("col"), "k": dense_s("col"),
+                    "v": dense_s("col"), "o": dense_s("row"),
+                }
+        if "mlp" in lp:
+            out["mlp"] = {"in": dense_s("col"), "out": dense_s("row")}
+        return out
+
+    shardings = jax.tree.map(lambda _: rep, params)
+    for side in ("encoder", "att_decoder"):
+        sub = params.get(side)
+        if isinstance(sub, dict) and "layers" in sub and sub["layers"] \
+                and "ln1" in sub["layers"][0]:
+            shardings[side]["layers"] = [
+                map_tf_layer(lp) for lp in sub["layers"]
+            ]
+    return shardings

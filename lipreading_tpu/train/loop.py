@@ -26,6 +26,7 @@ from lipreading_tpu.models.lipreader import compute_loss, init_model
 from lipreading_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    model_param_shardings,
     replicate,
 )
 from lipreading_tpu.text import Vocab
@@ -75,9 +76,20 @@ class Trainer:
         self._dropout_key = jax.random.fold_in(
             jax.random.PRNGKey(cfg.train.seed), 0x0D0
         )
-        self.params = replicate(init_model(key, cfg), self.mesh)
+        params = init_model(key, cfg)
+        if cfg.mesh.model_parallel > 1:
+            # tensor parallelism: annotate transformer params over the model
+            # axis; the SPMD partitioner emits the collectives
+            self._param_sharding = model_param_shardings(params, self.mesh)
+            self.params = jax.device_put(params, self._param_sharding)
+        else:
+            self._param_sharding = None
+            self.params = replicate(params, self.mesh)
         self.tx = make_optimizer(cfg)
-        self.opt_state = replicate(self.tx.init(self.params), self.mesh)
+        opt_state = self.tx.init(self.params)
+        self.opt_state = (jax.device_put(opt_state)
+                          if self._param_sharding is not None
+                          else replicate(opt_state, self.mesh))
         self.step = 0
         self._jit_step = self._build_step()
 
@@ -102,6 +114,15 @@ class Trainer:
             "rois": bsh, "frame_lengths": bsh, "targets": bsh,
             "target_lengths": bsh, "ctc_labels": bsh, "ctc_lengths": bsh,
         }
+        if self._param_sharding is not None:
+            # TP: params/grads/opt follow the annotation tree; XLA chooses
+            # output shardings for the opt state to match
+            return jax.jit(
+                step_fn,
+                in_shardings=(self._param_sharding, None, batch_shardings, rep),
+                out_shardings=(self._param_sharding, None, rep),
+                donate_argnums=(0, 1),
+            )
         return jax.jit(
             step_fn,
             in_shardings=(rep, rep, batch_shardings, rep),

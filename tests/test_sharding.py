@@ -81,3 +81,28 @@ def test_dp8_multiple_steps_stable(tmp_path):
     for i in range(3):
         m = tr.train_step(fake_batch(seed=i))
         assert np.isfinite(float(m["loss"]))
+
+
+def test_tensor_parallel_matches_dp(tmp_path):
+    """4x2 (data x model) TP+DP step == 8x1 pure-DP step (same math,
+    different layout; GSPMD inserts the collectives)."""
+    batch = fake_batch()
+    losses = {}
+    for dp, mp in ((8, 1), (4, 2)):
+        cfg = tiny_cfg(dp)
+        cfg.mesh.model_parallel = mp
+        tr = Trainer(cfg, str(tmp_path / f"mp{mp}"))
+        m = tr.train_step(batch)
+        losses[(dp, mp)] = float(m["loss"])
+    assert abs(losses[(8, 1)] - losses[(4, 2)]) < 1e-4, losses
+
+
+def test_tp_params_actually_sharded(tmp_path):
+    cfg = tiny_cfg(4)
+    cfg.mesh.model_parallel = 2
+    tr = Trainer(cfg, str(tmp_path / "tp"))
+    w = tr.params["encoder"]["layers"][0]["mlp"]["in"]["w"]
+    assert not w.sharding.is_fully_replicated
+    # each shard holds half the mlp hidden dim
+    shapes = {tuple(s.data.shape) for s in w.addressable_shards}
+    assert shapes == {(w.shape[0], w.shape[1] // 2)}
