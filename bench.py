@@ -77,11 +77,17 @@ def main():
             load_checkpoint,
         )
 
-        cfg = preset("bigru-ctc")
-        params = init_model(jax.random.PRNGKey(0), cfg)
-        ck = latest_checkpoint("runs/ctc/ckpt")
-        if ck:
-            _, params, _, _, _ = load_checkpoint(ck, params)
+        from lipreading_tpu.preproc_training import load_release_model
+
+        rel = load_release_model()
+        if rel is not None:
+            params, cfg = rel
+        else:
+            cfg = preset("bigru-ctc")
+            params = init_model(jax.random.PRNGKey(0), cfg)
+            ck = latest_checkpoint("runs/ctc/ckpt")
+            if ck:
+                _, params, _, _, _ = load_checkpoint(ck, params)
 
         Tc = 64
         B = n // Tc

@@ -178,3 +178,30 @@ def load_assets(assets_dir: str | None = None):
     det = odet.load_params(os.path.join(d, "detector.npz"))
     ert = ERTModel.load(os.path.join(d, "ert.npz"))
     return det, ert
+
+
+def load_release_model(name: str = "bigru_ctc", assets_dir: str | None = None):
+    """Load a params-only release checkpoint from assets/ (+ its config).
+
+    Returns (params, cfg) or None if the asset doesn't exist.
+    """
+    import json
+
+    import jax
+    from flax import serialization
+
+    from lipreading_tpu.config import from_dict
+    from lipreading_tpu.models.lipreader import init_model
+
+    d = assets_dir or ASSETS_DIR
+    path = os.path.join(d, f"{name}.msgpack")
+    meta_path = os.path.join(d, f"{name}.json")
+    if not (os.path.exists(path) and os.path.exists(meta_path)):
+        return None
+    with open(meta_path) as f:
+        cfg = from_dict(json.load(f)["config"])
+    template = init_model(jax.random.PRNGKey(0), cfg)
+    with open(path, "rb") as f:
+        state = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(template, state)
+    return params, cfg

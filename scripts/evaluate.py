@@ -47,7 +47,14 @@ def main(argv):
         _, params, _, _, _ = load_checkpoint(path, params)
         print(f"loaded {path}")
     else:
-        print("WARNING: no checkpoint found; evaluating random init")
+        from lipreading_tpu.preproc_training import load_release_model
+
+        rel = load_release_model()
+        if rel is not None:
+            params, cfg = rel
+            print("using release checkpoint assets/bigru_ctc.msgpack")
+        else:
+            print("WARNING: no checkpoint found; evaluating random init")
 
     det_np, ert_np = load_assets()
     det, ert = params_to_jax(det_np), model_to_jax(ert_np)

@@ -1,0 +1,39 @@
+"""Quality regression gate: the shipped checkpoint must lip-read held-out
+fixture clips (the repo's analogue of 'CER/WER parity vs reference ckpt' —
+BASELINE.json:2; the real reference checkpoints don't exist in this
+environment, SURVEY.md §0)."""
+
+import numpy as np
+import pytest
+
+
+def test_release_model_heldout_cer(assets):
+    import jax.numpy as jnp
+
+    from lipreading_tpu.fixtures import make_clip
+    from lipreading_tpu.infer import transcribe
+    from lipreading_tpu.metrics import corpus_cer
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+    from lipreading_tpu.ops.preprocess import preprocess_padded
+    from lipreading_tpu.preproc_training import load_release_model
+
+    rel = load_release_model()
+    if rel is None:
+        pytest.skip("no release checkpoint in assets/")
+    params, cfg = rel
+    det_np, ert_np = assets
+    det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+
+    hyps, refs = [], []
+    for i in range(3):  # small on CPU; bench/eval scripts cover more
+        clip = make_clip(424242 + i, cfg.data)
+        rois = preprocess_padded(det, ert, clip.frames, cfg.preprocess)
+        T = rois.shape[0]
+        pad = -(-T // 64) * 64
+        rois = np.pad(rois, ((0, pad - T), (0, 0), (0, 0)))
+        hyps.append(transcribe(params, cfg, rois[None],
+                               jnp.asarray([T]), beam=1)[0])
+        refs.append(clip.text)
+    cer = corpus_cer(hyps, refs)
+    assert cer < 0.30, (cer, list(zip(hyps, refs)))
