@@ -4,7 +4,11 @@ SURVEY.md §7 ranks dlib-ERT-on-TPU the #1 hard part: "data-dependent gathers,
 tiny FLOPs, awkward for the MXU. Plan A: ... vectorize tree traversal across
 (batch x trees) with gather indices precomputed per cascade stage."
 
-This is Plan A, expressed at the XLA level: cascade stages and tree depth are
+This is Plan A, expressed at the XLA level (measured decision: the cascade's
+hot ops are data-dependent gathers, which Mosaic kernels cannot vectorize —
+a Pallas version would serialize them as scalar loads. Reformulating for XLA
+below took the cascade from 72ms to 6.6ms per 384 frames on v5e; see git
+history for the before/after): cascade stages and tree depth are
 static Python loops (unrolled into the jit program — S*D is ~40 steps); within
 a step everything is a [B, ...]-shaped gather/compare, so the batch dimension
 saturates the VPU and the gathers hit HBM coalesced per frame. No Python
