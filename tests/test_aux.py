@@ -97,3 +97,47 @@ def test_preprocess_padded_matches_unpadded(assets):
     got = preprocess_padded(det, ert, frames, bucket=16)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_decode_deterministic(assets):
+    """fp32 decode must be bit-deterministic (the decode half of the
+    'bit-for-bit transcripts at fp32' gate — BASELINE.json:5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lipreading_tpu.infer import transcribe
+    from lipreading_tpu.models.lipreader import init_model
+
+    cfg = tiny_cfg()
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(4)
+    rois = jnp.asarray(rng.normal(0, 1, (3, 12, 96, 96)).astype(np.float32))
+    lengths = jnp.asarray([12, 9, 12])
+    a = transcribe(params, cfg, rois, lengths, beam=1)
+    b = transcribe(params, cfg, rois, lengths, beam=1)
+    assert a == b
+
+
+def test_fused_trainer_checkpoint_roundtrip(tmp_path, assets):
+    import jax
+
+    from lipreading_tpu.data.pipeline import FixtureVideoDataset, VideoBatchIterator
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+    from lipreading_tpu.train.loop import FusedTrainer
+
+    det_np, ert_np = assets
+    cfg = tiny_cfg()
+    cfg.data.batch_size = 2
+    ds = FixtureVideoDataset(1, seed=6, cfg=cfg.data)
+    it = VideoBatchIterator(ds, 2, seed=0)
+    tr = FusedTrainer(cfg, str(tmp_path / "a"), params_to_jax(det_np),
+                      model_to_jax(ert_np))
+    tr.train_step(next(it))
+    tr.save()
+    tr2 = FusedTrainer(cfg, str(tmp_path / "a"), params_to_jax(det_np),
+                       model_to_jax(ert_np), seed=99)
+    tr2.restore()
+    assert tr2.step == 1
+    for x, y in zip(jax.tree.leaves(tr.params), jax.tree.leaves(tr2.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
