@@ -141,3 +141,23 @@ def test_fused_trainer_checkpoint_roundtrip(tmp_path, assets):
     assert tr2.step == 1
     for x, y in zip(jax.tree.leaves(tr.params), jax.tree.leaves(tr2.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_profiling_capture_and_timer(tmp_path):
+    import jax.numpy as jnp
+
+    from lipreading_tpu.profiling import Timer, annotate, capture
+
+    def f(x):
+        with annotate("bench-region"):
+            return (x * 2).sum()
+
+    t = Timer(f).measure(jnp.ones((64, 64)), reps=3)
+    assert t > 0
+    with capture(str(tmp_path / "trace")):
+        f(jnp.ones((8, 8)))
+    import os
+
+    # a trace directory with at least one event file must exist
+    found = any("trace" in r for r, _, fs in os.walk(tmp_path) for f_ in fs)
+    assert os.path.isdir(tmp_path / "trace")
