@@ -78,6 +78,7 @@ class TrainConfig:
     eval_every: int = 500
     log_every: int = 50
     beam_width: int = 8
+    length_penalty: float = 0.6   # GNMT-style; 0 disables length norm
     max_decode_len: int = 48
     remat: bool = False           # jax.checkpoint the frontend to save HBM
 

@@ -21,7 +21,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from lipreading_tpu.config import DataConfig
-from lipreading_tpu.data.dataview import Dataview, u8_to_roi
+from lipreading_tpu.data.dataview import Dataview
 from lipreading_tpu.text import Vocab
 
 

@@ -25,7 +25,6 @@ from dataclasses import dataclass
 import numpy as np
 
 from lipreading_tpu.config import DataConfig
-from lipreading_tpu.data.dataset import Batch
 from lipreading_tpu.text import Vocab
 
 

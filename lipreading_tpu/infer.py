@@ -7,8 +7,6 @@ vocab. The jitted programs are cached per (shape, strategy).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,7 +23,6 @@ from lipreading_tpu.ops.decode import (
     beam_search,
     ctc_greedy_ids,
     greedy_decode,
-    tile_for_beams,
 )
 from lipreading_tpu.text import Vocab
 
@@ -91,7 +88,8 @@ def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None
     len_t = jnp.repeat(frame_lengths, beam, axis=0)
     state, step, _ = _attention_step_fn(params, cfg, enc_t, len_t, dtype)
     return beam_search(
-        step, state, B, beam, max_len, vocab.sos_id, vocab.eos_id
+        step, state, B, beam, max_len, vocab.sos_id, vocab.eos_id,
+        length_penalty=cfg.train.length_penalty,
     )
 
 

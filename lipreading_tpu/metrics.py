@@ -7,7 +7,6 @@ metric (BASELINE.json:2).
 
 from __future__ import annotations
 
-import numpy as np
 
 
 def edit_distance(a, b) -> int:

@@ -14,8 +14,6 @@ a single jitted program per utterance batch:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

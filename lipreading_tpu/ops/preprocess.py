@@ -14,8 +14,6 @@ kernels fused into the input pipeline so the TPU never stalls").
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

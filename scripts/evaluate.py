@@ -24,6 +24,7 @@ def main(argv):
     n_clips = int(args.pop("n_clips", 6))
     seed = int(args.pop("seed", 9090))
     beam = int(args.pop("beam", cfg.train.beam_width))
+    decode = args.pop("decode", None)   # decode via "ctc"/"attention" head
     if args:
         cfg = cfg.override(**args)
 
@@ -43,6 +44,7 @@ def main(argv):
 
     params = init_model(jax.random.PRNGKey(0), cfg)
     path = ckpt or latest_checkpoint(os.path.join(workdir, "ckpt"))
+    import dataclasses as _dc
     if path:
         _, params, _, _, _ = load_checkpoint(path, params)
         print(f"loaded {path}")
@@ -58,6 +60,10 @@ def main(argv):
 
     det_np, ert_np = load_assets()
     det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+    if decode == "ctc" and cfg.decoder == "hybrid":
+        # decode a hybrid checkpoint through its CTC head (robust to the
+        # attention decoder's failure modes on out-of-distribution lengths)
+        cfg = _dc.replace(cfg, decoder="ctc")
 
     hyps, refs = [], []
     for i in range(n_clips):
