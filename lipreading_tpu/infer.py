@@ -87,6 +87,20 @@ def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None
     enc_t = jnp.repeat(enc, beam, axis=0)
     len_t = jnp.repeat(frame_lengths, beam, axis=0)
     state, step, _ = _attention_step_fn(params, cfg, enc_t, len_t, dtype)
+    if cfg.decoder == "hybrid":
+        # joint CTC/attention one-pass decoding (ops/joint_decode.py): the
+        # frame-synchronous CTC prefix score vetoes attention loops
+        from lipreading_tpu.ops.joint_decode import joint_beam_search
+
+        ctc_l = ctc_logits(params, encode(params, cfg, rois, frame_lengths,
+                                          dtype)) if False else             ctc_logits(params, enc)
+        ctc_t = jnp.repeat(ctc_l, beam, axis=0)
+        return joint_beam_search(
+            step, state, ctc_t, len_t, B, beam, max_len,
+            vocab.sos_id, vocab.eos_id, blank=vocab.blank_id,
+            ctc_weight=cfg.train.ctc_weight,
+            length_penalty=cfg.train.length_penalty,
+        )
     return beam_search(
         step, state, B, beam, max_len, vocab.sos_id, vocab.eos_id,
         length_penalty=cfg.train.length_penalty,

@@ -1,0 +1,238 @@
+"""Joint CTC/attention one-pass beam search (Watanabe et al., "Hybrid
+CTC/Attention Architecture for End-to-End Speech Recognition") — the decode
+mode the hybrid loss (LCANet-style cascaded attention+CTC, PAPERS.md
+1803.04988) exists to support.
+
+Why: label-synchronous attention decoders hallucinate/loop on
+out-of-distribution input lengths (observed: 'had ad ad ad...' on full-clip
+eval); the frame-synchronous CTC lattice cannot loop. Scoring every beam
+expansion with lambda * ctc_prefix + (1 - lambda) * attention combines both.
+
+TPU shape: everything runs in ONE jitted lax.scan like ops/decode.beam_search,
+with extra per-beam CTC prefix state (r_n/r_b forward arrays over the T
+frames). The per-step CTC prefix scores for ALL vocabulary extensions are
+computed with two log-semiring associative scans over T — O(T log T) depth,
+fully vectorized over (beam x vocab) — instead of the reference-style
+per-hypothesis Python loops.
+
+Math (log domain; g = current prefix, h = g + c, c != blank):
+    phi_t(g, c)  = logaddexp(r_b_t(g), [c != last(g)] r_n_t(g))
+    r_n_t(h)     = logaddexp(r_n_{t-1}(h), phi_{t-1}) + lp_t(c)
+    r_b_t(h)     = logaddexp(r_b_{t-1}(h), r_n_{t-1}(h)) + lp_t(blank)
+    psi(h)       = logsumexp_t [ phi_{t-1} + lp_t(c) ]      (prefix score)
+    score(eos|g) = logaddexp(r_n_T(g), r_b_T(g))            (full-seq prob)
+Both recurrences are first-order linear in the (logaddexp, +) semiring, so
+lax.associative_scan evaluates them in parallel over t.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _semiring_scan(a, b):
+    """Solve r_t = a_t + r_{t-1}  (logaddexp)  b_t along axis 0.
+
+    a, b: [T, ...]. Returns r: [T, ...] with r_{-1} = -inf.
+    """
+
+    def combine(x, y):
+        a1, b1 = x
+        a2, b2 = y
+        return a1 + a2, jnp.logaddexp(b1 + a2, b2)
+
+    _, r = jax.lax.associative_scan(combine, (a, b), axis=0)
+    return r
+
+
+def init_ctc_prefix_state(lp: jnp.ndarray, blank: int):
+    """Per-sequence CTC prefix state for the empty prefix.
+
+    lp: [N, T, V] masked log-posteriors (see mask_ctc_logp). Returns dict with
+    r_n/r_b [N, T], psi [N], last [N], empty [N].
+    """
+    N, T, V = lp.shape
+    r_b = jnp.cumsum(lp[:, :, blank], axis=1)          # all-blank paths
+    r_n = jnp.full((N, T), NEG_INF)
+    return {
+        "r_n": r_n,
+        "r_b": r_b,
+        "psi": jnp.zeros((N,)),                        # psi(empty) = log 1
+        "last": jnp.full((N,), -1, jnp.int32),
+        "empty": jnp.ones((N,), bool),
+    }
+
+
+def mask_ctc_logp(logits: jnp.ndarray, lengths: jnp.ndarray,
+                  blank: int) -> jnp.ndarray:
+    """log_softmax over V, then frames past each length emit blank freely
+    (lp[blank]=0, others=-inf) so static-T arrays equal the truncated math."""
+    B, T, V = logits.shape
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    valid = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
+    pad_row = jnp.full((V,), NEG_INF).at[blank].set(0.0)
+    return jnp.where(valid, lp, pad_row[None, None, :])
+
+
+def ctc_extension_scores(state, lp, blank: int):
+    """Scores and updated lattices for ALL vocab extensions of each prefix.
+
+    state: dict from init_ctc_prefix_state, leaves [N, ...]; lp: [N, T, V].
+    Returns (psi_ext [N, V], full_logp [N], r_n_ext [N, V, T], r_b_ext
+    [N, V, T]): prefix scores per candidate, the full-sequence probability of
+    the current prefix (the eos score), and the successor lattice arrays.
+    """
+    N, T, V = lp.shape
+    r_n, r_b = state["r_n"], state["r_b"]
+    last, empty = state["last"], state["empty"]
+
+    same = jnp.arange(V)[None, :] == last[:, None]           # [N, V]
+    phi = jnp.logaddexp(
+        r_b[:, :, None],
+        jnp.where(same[:, None, :], NEG_INF, r_n[:, :, None]),
+    )                                                        # [N, T, V]
+    # phi_{t-1}: shift with the virtual t=-1 slot (0 for the empty prefix)
+    init_slot = jnp.where(empty, 0.0, NEG_INF)[:, None]      # [N, 1]
+    phi_prev = jnp.concatenate(
+        [jnp.broadcast_to(init_slot[:, :, None], (N, 1, V)), phi[:, :-1, :]],
+        axis=1,
+    )                                                        # [N, T, V]
+
+    emit = phi_prev + lp                                     # [N, T, V]
+    psi_ext = jax.scipy.special.logsumexp(emit, axis=1)      # [N, V]
+
+    # successor lattices for every candidate c (gathered after top-k):
+    # r_n recurrence over t (axis 0 for the scan)
+    a_n = jnp.moveaxis(lp, 1, 0)                             # [T, N, V]
+    b_n = jnp.moveaxis(emit, 1, 0)
+    r_n_ext = jnp.moveaxis(_semiring_scan(a_n, b_n), 0, 1)   # [N, T, V]
+    # r_b recurrence consumes r_n_ext_{t-1}
+    lpb = lp[:, :, blank][:, :, None]                        # [N, T, 1]
+    r_n_prev = jnp.concatenate(
+        [jnp.full((N, 1, V), NEG_INF), r_n_ext[:, :-1, :]], axis=1
+    )
+    a_b = jnp.moveaxis(jnp.broadcast_to(lpb, (N, T, V)), 1, 0)
+    b_b = jnp.moveaxis(r_n_prev + lpb, 1, 0)
+    r_b_ext = jnp.moveaxis(_semiring_scan(a_b, b_b), 0, 1)   # [N, T, V]
+
+    full_logp = jnp.logaddexp(r_n[:, -1], r_b[:, -1])        # [N]
+    return psi_ext, full_logp, jnp.moveaxis(r_n_ext, 1, 2), \
+        jnp.moveaxis(r_b_ext, 1, 2)
+
+
+def joint_beam_search(
+    att_step_fn,
+    att_state,
+    ctc_logits: jnp.ndarray,
+    frame_lengths: jnp.ndarray,
+    batch: int,
+    beam: int,
+    max_len: int,
+    sos: int,
+    eos: int,
+    blank: int = 0,
+    ctc_weight: float = 0.3,
+    length_penalty: float = 0.0,
+):
+    """One-pass joint decode. ``att_state`` leaves and ``ctc_logits``/
+    ``frame_lengths`` must already be tiled to B*W (like ops.decode
+    beam_search). Returns (ids [B, max_len], lengths [B])."""
+    BW = batch * beam
+    lp = mask_ctc_logp(ctc_logits, frame_lengths, blank)     # [BW, T, V]
+    V = lp.shape[-1]
+    ctc_state = init_ctc_prefix_state(lp, blank)
+
+    def body(carry, _):
+        att, ctc, scores, toks, finished, lengths = carry
+        att, att_logits = att_step_fn(att, toks.reshape(BW))
+        att_lp = jax.nn.log_softmax(att_logits.astype(jnp.float32), axis=-1)
+
+        psi_ext, full_lp, r_n_ext, r_b_ext = ctc_extension_scores(
+            ctc, lp, blank
+        )
+        delta = psi_ext - ctc["psi"][:, None]                # [BW, V]
+        delta = delta.at[:, eos].set(full_lp - ctc["psi"])
+        # attention never legally emits blank/sos; CTC never emits them either
+        bad = jnp.zeros((V,), bool).at[blank].set(True).at[sos].set(True)
+        joint = (1.0 - ctc_weight) * att_lp + ctc_weight * delta
+        joint = jnp.where(bad[None, :], NEG_INF, joint)
+        joint = joint.reshape(batch, beam, V)
+
+        eos_only = jnp.full((V,), NEG_INF).at[eos].set(0.0)
+        joint = jnp.where(finished[:, :, None], eos_only[None, None, :], joint)
+        total = scores[:, :, None] + joint
+        new_scores, idx = jax.lax.top_k(total.reshape(batch, beam * V), beam)
+        src_beam = idx // V
+        new_tok = (idx % V).astype(jnp.int32)
+
+        def gather_beam(x):
+            xs = x.reshape(batch, beam, *x.shape[1:])
+            g = jnp.take_along_axis(
+                xs, src_beam.reshape(batch, beam, *([1] * (xs.ndim - 2))),
+                axis=1,
+            )
+            return g.reshape(BW, *x.shape[1:])
+
+        att = jax.tree.map(gather_beam, att)
+        # gather successor CTC lattices for the chosen (beam, token) pairs
+        flat_tok = new_tok.reshape(BW)
+        sel = lambda x: jnp.take_along_axis(        # [BW, V, T] -> [BW, T]
+            gather_beam(x), flat_tok[:, None, None], axis=1
+        )[:, 0]
+        chose_eos = (flat_tok == eos) | gather_beam(
+            finished.reshape(BW)
+        )
+        new_ctc = {
+            "r_n": jnp.where(chose_eos[:, None],
+                             gather_beam(ctc["r_n"]), sel(r_n_ext)),
+            "r_b": jnp.where(chose_eos[:, None],
+                             gather_beam(ctc["r_b"]), sel(r_b_ext)),
+            "psi": jnp.where(
+                chose_eos,
+                gather_beam(ctc["psi"]),
+                jnp.take_along_axis(gather_beam(psi_ext),
+                                    flat_tok[:, None], axis=1)[:, 0],
+            ),
+            "last": jnp.where(chose_eos, gather_beam(ctc["last"]), flat_tok),
+            "empty": jnp.zeros((BW,), bool),  # every live beam has emitted
+        }
+        finished = jnp.take_along_axis(finished, src_beam, axis=1)
+        lengths = jnp.take_along_axis(lengths, src_beam, axis=1)
+        lengths = lengths + (~finished).astype(jnp.int32)
+        finished = finished | (new_tok == eos)
+        return (att, new_ctc, new_scores, new_tok, finished, lengths), \
+            (new_tok, src_beam)
+
+    scores0 = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((beam - 1,), NEG_INF)])[None],
+        (batch, 1),
+    )
+    toks0 = jnp.full((batch, beam), sos, jnp.int32)
+    fin0 = jnp.zeros((batch, beam), bool)
+    len0 = jnp.zeros((batch, beam), jnp.int32)
+    (_, _, scores, _, finished, lengths), (toks, srcs) = jax.lax.scan(
+        body, (att_state, ctc_state, scores0, toks0, fin0, len0),
+        None, length=max_len,
+    )
+
+    def backtrack(carry, xs):
+        beam_idx = carry
+        tok_t, src_t = xs
+        tok = jnp.take_along_axis(tok_t, beam_idx, axis=1)
+        beam_idx = jnp.take_along_axis(src_t, beam_idx, axis=1)
+        return beam_idx, tok
+
+    final_idx = jnp.tile(jnp.arange(beam)[None], (batch, 1))
+    _, rev_toks = jax.lax.scan(backtrack, final_idx, (toks[::-1], srcs[::-1]))
+    seq = jnp.moveaxis(jnp.moveaxis(rev_toks[::-1], 0, 1), 2, 1)  # [B, W, L]
+
+    norm = ((lengths.astype(jnp.float32) + 5.0) / 6.0) ** length_penalty
+    best = jnp.argmax(scores / jnp.maximum(norm, 1e-6), axis=1)
+    ids = jnp.take_along_axis(seq, best[:, None, None], axis=1)[:, 0]
+    best_len = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
+    pos = jnp.arange(max_len)[None, :]
+    ids = jnp.where(pos < best_len[:, None], ids, eos)
+    return ids, best_len
