@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Workflow step 4 (ref: eval script — SURVEY.md §4.3): CER/WER of a trained
-checkpoint on held-out fixture clips (or a dataview).
+checkpoint on held-out fixture clips, or on a dataview split.
 
 Usage:
   python scripts/evaluate.py preset=bigru-ctc workdir=runs/ctc \\
-      [ckpt=path] [n_clips=6] [seed=9090] [beam=8] [key=value...]
+      [ckpt=path] [n_clips=6] [seed=9090] [beam=8] [decode=ctc] [key=value...]
+  python scripts/evaluate.py workdir=runs/ctc dataview=path [split=val] ...
 """
 import os
 import sys
@@ -25,6 +26,8 @@ def main(argv):
     seed = int(args.pop("seed", 9090))
     beam = int(args.pop("beam", cfg.train.beam_width))
     decode = args.pop("decode", None)   # decode via "ctc"/"attention" head
+    dataview_path = args.pop("dataview", None)
+    split = args.pop("split", "val")
     if args:
         cfg = cfg.override(**args)
 
@@ -65,6 +68,10 @@ def main(argv):
         # attention decoder's failure modes on out-of-distribution lengths)
         cfg = _dc.replace(cfg, decoder="ctc")
 
+    if dataview_path:
+        evaluate_dataview(params, cfg, dataview_path, split, beam)
+        return
+
     hyps, refs = [], []
     for i in range(n_clips):
         clip = make_clip(seed + i, cfg.data)
@@ -86,3 +93,29 @@ def main(argv):
 
 if __name__ == "__main__":
     main(sys.argv[1:])
+
+
+def evaluate_dataview(params, cfg, dataview_path, split, beam):
+    """CER/WER over a clip-level split of a cached dataview."""
+    import numpy as np
+
+    from lipreading_tpu.data.dataset import BucketedDataset, batch_to_device
+    from lipreading_tpu.data.dataview import Dataview, split_by_clip
+    from lipreading_tpu.infer import transcribe
+    from lipreading_tpu.metrics import corpus_cer, corpus_wer
+
+    view = Dataview(dataview_path)
+    splits = split_by_clip(view, {"train": 0.9, "val": 0.1}, seed=0)
+    idx = splits.get(split) or list(range(len(view)))
+    ds = BucketedDataset(view, cfg.data, indices=idx)
+    hyps, refs = [], []
+    B = 8
+    for lo in range(0, len(ds) - len(ds) % B, B):
+        b = ds.make_batch(list(range(lo, lo + B)))
+        dev = batch_to_device(b, cfg.preprocess.normalize_mean,
+                              cfg.preprocess.normalize_std)
+        hyps.extend(transcribe(params, cfg, dev["rois"],
+                               dev["frame_lengths"], beam=beam))
+        refs.extend(b.texts)
+    print(f"{split} split: {len(hyps)} samples  "
+          f"CER={corpus_cer(hyps, refs):.4f} WER={corpus_wer(hyps, refs):.4f}")
