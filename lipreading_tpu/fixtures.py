@@ -132,7 +132,33 @@ def _landmarks(cx, cy, rx, ry, mouth_open, mouth_width):
     return pts.astype(np.float32)
 
 
-def _render_frame(yy, xx, geom, mouth_open, mouth_width, bg, noise):
+DEFAULT_STYLE = {
+    "skin": (198.0, 160.0, 132.0),
+    "lips": (150.0, 70.0, 70.0),
+    "bg_shift": 0.0,
+    "noise_sigma": 2.0,
+}
+
+
+def _sample_style(seed: int, variation: float) -> dict:
+    """Per-clip appearance style; identity at variation=0 (separate rng
+    stream so the base renderer's draws are untouched)."""
+    if variation <= 0.0:
+        return dict(DEFAULT_STYLE)
+    srng = np.random.default_rng(np.random.SeedSequence([0x57717E, seed]))
+    v = float(np.clip(variation, 0.0, 1.0))
+    skin = np.asarray(DEFAULT_STYLE["skin"]) + srng.uniform(-60, 40, 3) * v
+    lips = np.asarray(DEFAULT_STYLE["lips"]) + srng.uniform(-40, 40, 3) * v
+    return {
+        "skin": tuple(np.clip(skin, 40, 255)),
+        "lips": tuple(np.clip(lips, 30, 230)),
+        "bg_shift": float(srng.uniform(-40, 60)) * v,
+        "noise_sigma": 2.0 + float(srng.uniform(0, 6)) * v,
+    }
+
+
+def _render_frame(yy, xx, geom, mouth_open, mouth_width, bg, noise,
+                  style=DEFAULT_STYLE):
     cx, cy, rx, ry = geom
     img = bg.copy()
 
@@ -141,7 +167,7 @@ def _render_frame(yy, xx, geom, mouth_open, mouth_width, bg, noise):
         img[:] = img * (1 - m) + np.asarray(color, dtype=np.float64) * m
 
     # skin
-    paint(_ellipse_mask(yy, xx, cx, cy, rx, ry), (198.0, 160.0, 132.0))
+    paint(_ellipse_mask(yy, xx, cx, cy, rx, ry), style["skin"])
     # brows
     for sx in (-1, 1):
         paint(
@@ -163,7 +189,7 @@ def _render_frame(yy, xx, geom, mouth_open, mouth_width, bg, noise):
     mx, my = cx, cy + 0.52 * ry
     mw = 0.45 * rx * mouth_width
     mh = ry * (0.055 + 0.22 * mouth_open)
-    paint(_ellipse_mask(yy, xx, mx, my, mw, mh), (150.0, 70.0, 70.0))
+    paint(_ellipse_mask(yy, xx, mx, my, mw, mh), style["lips"])
     ih = mh * (0.15 + 0.75 * mouth_open)
     paint(_ellipse_mask(yy, xx, mx, my, 0.72 * mw, ih), (40.0, 18.0, 20.0))
 
@@ -208,10 +234,20 @@ def sample_text(rng: np.random.Generator, min_words=2, max_words=4) -> str:
     return " ".join(LEXICON[int(i)] for i in rng.integers(0, len(LEXICON), n))
 
 
-def make_clip(seed: int, cfg: DataConfig | None = None, text: str | None = None) -> Clip:
-    """Render one deterministic clip. Same (seed, cfg, text) -> same bytes."""
+def make_clip(seed: int, cfg: DataConfig | None = None, text: str | None = None,
+              variation: float = 0.0) -> Clip:
+    """Render one deterministic clip. Same (seed, cfg, text, variation) ->
+    same bytes.
+
+    ``variation`` in [0, 1] scales per-clip appearance diversity (skin tone,
+    lip color, background palette, noise level) drawn from an independent
+    seeded stream — variation=0.0 is byte-identical to the original renderer,
+    so existing golden dumps / trained assets stay valid while robustness
+    corpora can opt in.
+    """
     cfg = cfg or DataConfig()
     rng = np.random.default_rng(np.random.SeedSequence([0xFACE, seed]))
+    style = _sample_style(seed, variation)
     if text is None:
         text = sample_text(rng)
     text = normalize_text(text)
@@ -236,8 +272,8 @@ def make_clip(seed: int, cfg: DataConfig | None = None, text: str | None = None)
     )
 
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
-    c0 = rng.uniform(60, 110, size=3)
-    c1 = rng.uniform(90, 150, size=3)
+    c0 = rng.uniform(60, 110, size=3) + style["bg_shift"]
+    c1 = rng.uniform(90, 150, size=3) + style["bg_shift"]
     bg = c0[None, None, :] + (c1 - c0)[None, None, :] * (yy / H)[..., None]
 
     frames = np.empty((T, H, W, 3), dtype=np.uint8)
@@ -246,8 +282,9 @@ def make_clip(seed: int, cfg: DataConfig | None = None, text: str | None = None)
     for t in range(T):
         geom = _face_geometry(t, params, H, W)
         cx, cy, rx, ry = geom
-        noise = rng.normal(0.0, 2.0, size=(H, W, 1))
-        frames[t] = _render_frame(yy, xx, geom, o_curve[t], w_curve[t], bg, noise)
+        noise = rng.normal(0.0, style["noise_sigma"], size=(H, W, 1))
+        frames[t] = _render_frame(yy, xx, geom, o_curve[t], w_curve[t], bg,
+                                  noise, style)
         landmarks[t] = _landmarks(cx, cy, rx, ry, o_curve[t], w_curve[t])
         boxes[t] = (cx - rx, cy - ry, 2 * rx, 2 * ry)
 
@@ -261,5 +298,7 @@ def make_clip(seed: int, cfg: DataConfig | None = None, text: str | None = None)
     )
 
 
-def make_clips(seed: int, n: int, cfg: DataConfig | None = None) -> list[Clip]:
-    return [make_clip(seed * 10_000 + i, cfg) for i in range(n)]
+def make_clips(seed: int, n: int, cfg: DataConfig | None = None,
+               variation: float = 0.0) -> list[Clip]:
+    return [make_clip(seed * 10_000 + i, cfg, variation=variation)
+            for i in range(n)]
