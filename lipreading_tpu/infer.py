@@ -58,7 +58,28 @@ def _attention_step_fn(params, cfg: Config, enc, enc_lengths, dtype):
         return cache, step, None
 
 
-def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None):
+_LM_CACHE: dict = {}
+
+
+def _load_lm():
+    """Lazily load the shipped char LM (assets/char_lm.npz) as jnp arrays."""
+    if "lm" not in _LM_CACHE:
+        import os
+
+        from lipreading_tpu.lm import load_lm
+        from lipreading_tpu.preproc_training import ASSETS_DIR
+
+        path = os.path.join(ASSETS_DIR, "char_lm.npz")
+        if os.path.exists(path):
+            table, order = load_lm(path)
+            _LM_CACHE["lm"] = (jnp.asarray(table), order)
+        else:
+            _LM_CACHE["lm"] = None
+    return _LM_CACHE["lm"]
+
+
+def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None,
+               lm_weight: float = 0.0):
     """[B, T, R, R] -> (ids [B, L], lengths [B]) on device.
 
     Strategy: CTC greedy for decoder="ctc" (beam <= 1; prefix beam search is
@@ -110,14 +131,15 @@ def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None
 _JIT_CACHE: dict = {}
 
 
-def _decode_jit(cfg: Config, beam: int):
-    """Per-(config, beam) jitted decode closure (Config isn't hashable)."""
+def _decode_jit(cfg: Config, beam: int, lm_weight: float = 0.0):
+    """Per-(config, beam, lm) jitted decode closure (Config isn't hashable)."""
     import json
 
-    key = (json.dumps(cfg.to_dict(), sort_keys=True, default=str), beam)
+    key = (json.dumps(cfg.to_dict(), sort_keys=True, default=str), beam,
+           lm_weight)
     if key not in _JIT_CACHE:
         _JIT_CACHE[key] = jax.jit(
-            lambda p, r, l: decode_ids(p, cfg, r, l, beam)
+            lambda p, r, l: decode_ids(p, cfg, r, l, beam, lm_weight)
         )
     return _JIT_CACHE[key]
 
@@ -129,7 +151,8 @@ def ctc_log_probs(params, cfg: Config, rois, frame_lengths):
 
 
 def transcribe(params, cfg: Config, rois, frame_lengths,
-               beam: int | None = None, vocab: Vocab | None = None) -> list[str]:
+               beam: int | None = None, vocab: Vocab | None = None,
+               lm_weight: float = 0.0) -> list[str]:
     """Batch of ROI sequences -> transcripts (host strings)."""
     vocab = vocab or Vocab()
     beam = cfg.train.beam_width if beam is None else beam
@@ -153,7 +176,7 @@ def transcribe(params, cfg: Config, rois, frame_lengths,
             blank=vocab.blank_id,
         )
         return [vocab.decode(s) for s in seqs]
-    ids, lengths = _decode_jit(cfg, beam)(
+    ids, lengths = _decode_jit(cfg, beam, lm_weight)(
         params, jnp.asarray(rois), jnp.asarray(frame_lengths)
     )
     ids = np.asarray(ids)

@@ -136,17 +136,30 @@ def joint_beam_search(
     blank: int = 0,
     ctc_weight: float = 0.3,
     length_penalty: float = 0.0,
+    lm=None,
+    lm_weight: float = 0.0,
 ):
     """One-pass joint decode. ``att_state`` leaves and ``ctc_logits``/
     ``frame_lengths`` must already be tiled to B*W (like ops.decode
-    beam_search). Returns (ids [B, max_len], lengths [B])."""
+    beam_search). Returns (ids [B, max_len], lengths [B]).
+
+    ``lm``: optional (table [V^(n-1), V] jnp array, order) for shallow
+    fusion — adds lm_weight * log P_lm(c | context) to every expansion
+    (lipreading_tpu/lm.py)."""
     BW = batch * beam
     lp = mask_ctc_logp(ctc_logits, frame_lengths, blank)     # [BW, T, V]
     V = lp.shape[-1]
     ctc_state = init_ctc_prefix_state(lp, blank)
+    if lm is not None:
+        from lipreading_tpu.lm import advance_context, initial_context
+
+        lm_table, lm_order = lm
+        lm_ctx0 = initial_context(BW, lm_order)
+    else:
+        lm_table = lm_order = lm_ctx0 = None
 
     def body(carry, _):
-        att, ctc, scores, toks, finished, lengths = carry
+        att, ctc, lm_ctx, scores, toks, finished, lengths = carry
         att, att_logits = att_step_fn(att, toks.reshape(BW))
         att_lp = jax.nn.log_softmax(att_logits.astype(jnp.float32), axis=-1)
 
@@ -158,6 +171,8 @@ def joint_beam_search(
         # attention never legally emits blank/sos; CTC never emits them either
         bad = jnp.zeros((V,), bool).at[blank].set(True).at[sos].set(True)
         joint = (1.0 - ctc_weight) * att_lp + ctc_weight * delta
+        if lm_table is not None:
+            joint = joint + lm_weight * lm_table[lm_ctx]     # [BW, V] fusion
         joint = jnp.where(bad[None, :], NEG_INF, joint)
         joint = joint.reshape(batch, beam, V)
 
@@ -199,12 +214,16 @@ def joint_beam_search(
             "last": jnp.where(chose_eos, gather_beam(ctc["last"]), flat_tok),
             "empty": jnp.zeros((BW,), bool),  # every live beam has emitted
         }
+        if lm_table is not None:
+            lm_ctx = advance_context(
+                gather_beam(lm_ctx), flat_tok, lm_order, V
+            )
         finished = jnp.take_along_axis(finished, src_beam, axis=1)
         lengths = jnp.take_along_axis(lengths, src_beam, axis=1)
         lengths = lengths + (~finished).astype(jnp.int32)
         finished = finished | (new_tok == eos)
-        return (att, new_ctc, new_scores, new_tok, finished, lengths), \
-            (new_tok, src_beam)
+        return (att, new_ctc, lm_ctx, new_scores, new_tok, finished,
+                lengths), (new_tok, src_beam)
 
     scores0 = jnp.tile(
         jnp.concatenate([jnp.zeros((1,)), jnp.full((beam - 1,), NEG_INF)])[None],
@@ -213,8 +232,9 @@ def joint_beam_search(
     toks0 = jnp.full((batch, beam), sos, jnp.int32)
     fin0 = jnp.zeros((batch, beam), bool)
     len0 = jnp.zeros((batch, beam), jnp.int32)
-    (_, _, scores, _, finished, lengths), (toks, srcs) = jax.lax.scan(
-        body, (att_state, ctc_state, scores0, toks0, fin0, len0),
+    lm_carry = lm_ctx0 if lm_table is not None else jnp.zeros((BW,), jnp.int32)
+    (_, _, _, scores, _, finished, lengths), (toks, srcs) = jax.lax.scan(
+        body, (att_state, ctc_state, lm_carry, scores0, toks0, fin0, len0),
         None, length=max_len,
     )
 

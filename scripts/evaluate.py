@@ -26,6 +26,7 @@ def main(argv):
     seed = int(args.pop("seed", 9090))
     beam = int(args.pop("beam", cfg.train.beam_width))
     decode = args.pop("decode", None)   # decode via "ctc"/"attention" head
+    lm_weight = float(args.pop("lm_weight", 0.0))
     dataview_path = args.pop("dataview", None)
     split = args.pop("split", "val")
     if args:
@@ -81,7 +82,8 @@ def main(argv):
         padded = -(-T // 64) * 64
         rois = np.pad(rois, ((0, padded - T), (0, 0), (0, 0)))
         hyp = transcribe(
-            params, cfg, rois[None], jnp.asarray([T]), beam=beam
+            params, cfg, rois[None], jnp.asarray([T]), beam=beam,
+            lm_weight=lm_weight,
         )[0]
         hyps.append(hyp)
         refs.append(clip.text)
