@@ -27,3 +27,25 @@ Layout:
 __version__ = "0.1.0"
 
 from lipreading_tpu.text import Vocab, normalize_text  # noqa: F401
+
+_LAZY = {
+    "preset": ("lipreading_tpu.config", "preset"),
+    "Config": ("lipreading_tpu.config", "Config"),
+    "transcribe": ("lipreading_tpu.infer", "transcribe"),
+    "Trainer": ("lipreading_tpu.train.loop", "Trainer"),
+    "FusedTrainer": ("lipreading_tpu.train.loop", "FusedTrainer"),
+    "make_clip": ("lipreading_tpu.fixtures", "make_clip"),
+    "load_assets": ("lipreading_tpu.preproc_training", "load_assets"),
+    "load_release_model": ("lipreading_tpu.preproc_training",
+                           "load_release_model"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax at package import)."""
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
