@@ -161,3 +161,22 @@ def test_bucketed_dataset_split_subset(dataview):
     b = ds.make_batch(list(range(min(2, len(ds)))))
     want = {dataview.text(i) for i in splits["train"]}
     assert set(b.texts) <= want
+
+
+def test_evaluate_dataview_split_plumbing(dataview, capsys):
+    """scripts/evaluate.py dataview mode: split eval runs end to end."""
+    import importlib.util
+    import jax
+
+    from lipreading_tpu.models.lipreader import init_model
+
+    spec = importlib.util.spec_from_file_location(
+        "eval_script", os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts", "evaluate.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cfg = tiny_cfg()
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    mod.evaluate_dataview(params, cfg, dataview.path, "val", beam=1)
+    out = capsys.readouterr().out
+    assert "CER=" in out
