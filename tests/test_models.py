@@ -133,6 +133,7 @@ def test_ctc_beam_transcribe_path():
     assert isinstance(greedy[0], str)
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat(batch):
     """jax.checkpoint on the frontend must not change loss or grads."""
     import dataclasses

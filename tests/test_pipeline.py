@@ -57,6 +57,7 @@ def test_video_iterator_bucketed(video_ds):
     assert b.frames.shape[1] in tiny_cfg().data.time_buckets
 
 
+@pytest.mark.slow
 def test_fused_dp8_step(fused, video_ds):
     it = VideoBatchIterator(video_ds, 8, seed=0)
     m1 = fused.train_step(next(it))

@@ -51,6 +51,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.shape == (8, 1)
 
 
+@pytest.mark.slow
 def test_dp8_train_step_runs_and_matches_dp1(tmp_path):
     batch = fake_batch()
     losses = {}
@@ -83,6 +84,7 @@ def test_dp8_multiple_steps_stable(tmp_path):
         assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_tensor_parallel_matches_dp(tmp_path):
     """4x2 (data x model) TP+DP step == 8x1 pure-DP step (same math,
     different layout; GSPMD inserts the collectives)."""

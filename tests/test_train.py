@@ -88,6 +88,7 @@ def test_batch_shapes_static_per_bucket(dataview):
     assert len(shapes) <= len(cfg.data.time_buckets)
 
 
+@pytest.mark.slow
 def test_overfit_loss_decreases(dataview, tmp_path):
     cfg = tiny_cfg()
     ds = BucketedDataset(dataview, cfg.data)
@@ -100,6 +101,7 @@ def test_overfit_loss_decreases(dataview, tmp_path):
     assert losses[-1] < losses[0] * 0.5, losses[::10]
 
 
+@pytest.mark.slow
 def test_checkpoint_save_restore(dataview, tmp_path):
     import jax
 
