@@ -26,6 +26,7 @@ def main(argv):
     video = args.pop("video", None)
     fixture_seed = int(args.pop("fixture_seed", 3))
     beam = int(args.pop("beam", cfg.train.beam_width))
+    release = args.pop("release", "bigru_ctc")
     if args:
         cfg = cfg.override(**args)
 
@@ -58,10 +59,10 @@ def main(argv):
     else:
         from lipreading_tpu.preproc_training import load_release_model
 
-        rel = load_release_model()
+        rel = load_release_model(release)
         if rel is not None:
             params, cfg = rel
-            print("using release checkpoint assets/bigru_ctc.msgpack")
+            print(f"using release checkpoint assets/{release}.msgpack")
         else:
             print("WARNING: no checkpoint; transcribing with random weights")
 
