@@ -170,13 +170,20 @@ def train_all(
     return det_params, ert_model, {"det_err_px": det_err, "ert_err": ert_err}
 
 
-def load_assets(assets_dir: str | None = None):
-    """Load the checked-in preprocessing weights (detector params, ERT model)."""
+def load_assets(assets_dir: str | None = None, variant: str = "default"):
+    """Load checked-in preprocessing weights (detector params, ERT model).
+
+    ``variant``: "default" (trained on the canonical fixture style; the
+    parity/golden anchor) or "robust" (trained with appearance variation=0.6
+    — fixtures.make_clip(variation=...); ~3x better detection on styled
+    clips, no regression on default ones).
+    """
     from lipreading_tpu.oracle.ert import ERTModel
 
     d = assets_dir or ASSETS_DIR
-    det = odet.load_params(os.path.join(d, "detector.npz"))
-    ert = ERTModel.load(os.path.join(d, "ert.npz"))
+    sfx = "" if variant == "default" else f"_{variant}"
+    det = odet.load_params(os.path.join(d, f"detector{sfx}.npz"))
+    ert = ERTModel.load(os.path.join(d, f"ert{sfx}.npz"))
     return det, ert
 
 

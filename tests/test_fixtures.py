@@ -71,3 +71,31 @@ def test_variation_changes_appearance_not_geometry():
     np.testing.assert_array_equal(a.landmarks, b.landmarks)
     np.testing.assert_array_equal(a.boxes, b.boxes)
     assert a.text == b.text
+
+
+def test_robust_assets_handle_variation(assets):
+    """The robust preprocessing assets must beat the default ones on styled
+    clips and not regress on canonical ones."""
+    import os
+
+    from lipreading_tpu.oracle.ert_train import landmark_error
+    from lipreading_tpu.preproc_training import (
+        ASSETS_DIR,
+        _collect_frames,
+        load_assets,
+    )
+
+    if not os.path.exists(os.path.join(ASSETS_DIR, "ert_robust.npz")):
+        import pytest
+
+        pytest.skip("robust assets not built")
+    from lipreading_tpu.fixtures import make_clips
+
+    varied = make_clips(123, 2, variation=0.6)
+    g, b, l = _collect_frames(varied, stride=8)
+    _, ert_def = load_assets()
+    _, ert_rob = load_assets(variant="robust")
+    err_def = landmark_error(ert_def, g, b, l)
+    err_rob = landmark_error(ert_rob, g, b, l)
+    assert err_rob < err_def
+    assert err_rob < 0.01
