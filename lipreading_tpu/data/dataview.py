@@ -93,11 +93,15 @@ def build_fixture_dataview(
     pre_cfg: PreprocessConfig | None = None,
     use_ground_truth_landmarks: bool = False,
     batch_frames: int = 256,
+    variation: float = 0.0,
+    assets_variant: str = "default",
 ) -> Dataview:
     """Render fixture clips, preprocess on device, cut cue-aligned samples.
 
     ``use_ground_truth_landmarks`` bypasses the detector/ERT with fixture GT
     (isolates model training from landmarker quality in tests).
+    ``variation``/``assets_variant`` select styled clips + the matching
+    robust preprocessing weights (appearance-robust training corpora).
     """
     import jax.numpy as jnp
 
@@ -118,11 +122,11 @@ def build_fixture_dataview(
         from lipreading_tpu.ops.ert import model_to_jax
         from lipreading_tpu.preproc_training import load_assets
 
-        det_np, ert_np = load_assets()
+        det_np, ert_np = load_assets(variant=assets_variant)
         det, ert = params_to_jax(det_np), model_to_jax(ert_np)
 
     for c in range(n_clips):
-        clip = make_clip(seed * 1_000_000 + c, data_cfg)
+        clip = make_clip(seed * 1_000_000 + c, data_cfg, variation=variation)
         H, W = clip.frames.shape[1:3]
         if use_ground_truth_landmarks:
             rois = []

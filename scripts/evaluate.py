@@ -27,6 +27,9 @@ def main(argv):
     beam = int(args.pop("beam", cfg.train.beam_width))
     decode = args.pop("decode", None)   # decode via "ctc"/"attention" head
     lm_weight = float(args.pop("lm_weight", 0.0))
+    variation = float(args.pop("variation", 0.0))
+    assets_variant = args.pop("assets_variant",
+                              "robust" if variation > 0 else "default")
     dataview_path = args.pop("dataview", None)
     split = args.pop("split", "val")
     if args:
@@ -62,7 +65,7 @@ def main(argv):
         else:
             print("WARNING: no checkpoint found; evaluating random init")
 
-    det_np, ert_np = load_assets()
+    det_np, ert_np = load_assets(variant=assets_variant)
     det, ert = params_to_jax(det_np), model_to_jax(ert_np)
     if decode == "ctc" and cfg.decoder == "hybrid":
         # decode a hybrid checkpoint through its CTC head (robust to the
@@ -75,7 +78,7 @@ def main(argv):
 
     hyps, refs = [], []
     for i in range(n_clips):
-        clip = make_clip(seed + i, cfg.data)
+        clip = make_clip(seed + i, cfg.data, variation=variation)
         # bucket-padded preprocessing + decode: one compile per bucket shape
         rois = preprocess_padded(det, ert, clip.frames, cfg.preprocess)
         T = rois.shape[0]

@@ -28,6 +28,9 @@ def main(argv):
     fused = args.pop("fused", "0") in ("1", "true")
     n_clips = int(args.pop("n_clips", 24))
     data_seed = int(args.pop("data_seed", 1))
+    variation = float(args.pop("variation", 0.0))
+    assets_variant = args.pop("assets_variant",
+                              "robust" if variation > 0 else "default")
     if args:
         cfg = cfg.override(**args)
 
@@ -62,7 +65,9 @@ def main(argv):
             dataview_path = dataview_path or os.path.join(workdir, "dataview")
             print(f"building fixture dataview at {dataview_path} ...")
             view = build_fixture_dataview(
-                dataview_path, n_clips=n_clips, seed=data_seed, data_cfg=cfg.data
+                dataview_path, n_clips=n_clips, seed=data_seed,
+                data_cfg=cfg.data, variation=variation,
+                assets_variant=assets_variant,
             )
         ds = BucketedDataset(view, cfg.data)
         it = BatchIterator(ds, cfg.data.batch_size, seed=cfg.train.seed)
@@ -71,7 +76,9 @@ def main(argv):
         ho_path = os.path.join(workdir, "dataview_heldout")
         if not os.path.exists(os.path.join(ho_path, "index.json")):
             ho_view = build_fixture_dataview(
-                ho_path, n_clips=4, seed=data_seed + 999_983, data_cfg=cfg.data
+                ho_path, n_clips=4, seed=data_seed + 999_983,
+                data_cfg=cfg.data, variation=variation,
+                assets_variant=assets_variant,
             )
         else:
             ho_view = Dataview(ho_path)

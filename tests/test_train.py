@@ -182,3 +182,22 @@ def test_evaluate_dataview_split_plumbing(dataview, capsys):
     mod.evaluate_dataview(params, cfg, dataview.path, "val", beam=1)
     out = capsys.readouterr().out
     assert "CER=" in out
+
+
+def test_variation_dataview_builds(tmp_path):
+    """Styled-corpus dataview with robust assets (round-2 robustness path)."""
+    import os as _os
+
+    from lipreading_tpu.preproc_training import ASSETS_DIR
+
+    if not _os.path.exists(_os.path.join(ASSETS_DIR, "ert_robust.npz")):
+        pytest.skip("robust assets not built")
+    cfg = tiny_cfg()
+    view = build_fixture_dataview(
+        str(tmp_path / "dv"), n_clips=1, seed=77, data_cfg=cfg.data,
+        variation=0.6, assets_variant="robust",
+    )
+    assert len(view) >= 2
+    roi = view.roi_u8(0)
+    # a mouth is in frame: the ROI must have real contrast
+    assert roi.std() > 10
