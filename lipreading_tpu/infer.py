@@ -110,17 +110,18 @@ def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None
     state, step, _ = _attention_step_fn(params, cfg, enc_t, len_t, dtype)
     if cfg.decoder == "hybrid":
         # joint CTC/attention one-pass decoding (ops/joint_decode.py): the
-        # frame-synchronous CTC prefix score vetoes attention loops
+        # frame-synchronous CTC prefix score vetoes attention loops;
+        # optional shallow fusion with the shipped char LM (lm.py)
         from lipreading_tpu.ops.joint_decode import joint_beam_search
 
-        ctc_l = ctc_logits(params, encode(params, cfg, rois, frame_lengths,
-                                          dtype)) if False else             ctc_logits(params, enc)
-        ctc_t = jnp.repeat(ctc_l, beam, axis=0)
+        lm = _load_lm() if lm_weight > 0.0 else None
+        ctc_t = jnp.repeat(ctc_logits(params, enc), beam, axis=0)
         return joint_beam_search(
             step, state, ctc_t, len_t, B, beam, max_len,
             vocab.sos_id, vocab.eos_id, blank=vocab.blank_id,
             ctc_weight=cfg.train.ctc_weight,
             length_penalty=cfg.train.length_penalty,
+            lm=lm, lm_weight=lm_weight,
         )
     return beam_search(
         step, state, B, beam, max_len, vocab.sos_id, vocab.eos_id,

@@ -71,3 +71,39 @@ def test_fusion_biases_beam(lm_table):
     out = v.decode(np.asarray(ids)[0, : int(n[0])])
     # the LM must produce in-distribution text (lexicon words), not noise
     assert len(out) > 0
+
+
+def test_transcribe_lm_weight_reaches_joint_decode(monkeypatch, lm_table):
+    """Regression: lm_weight must actually reach joint_beam_search (a silent
+    patch failure once made LM fusion a no-op in the transcribe path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lipreading_tpu import infer
+    from lipreading_tpu.config import preset
+    from lipreading_tpu.models.lipreader import init_model
+    from tests.test_models import tiny
+
+    # ship a fake LM into the cache so _load_lm returns one
+    infer._LM_CACHE["lm"] = (jnp.asarray(lm_table), 3)
+    seen = {}
+    import lipreading_tpu.ops.joint_decode as jd
+
+    real = jd.joint_beam_search
+
+    def spy(*args, **kw):
+        seen["lm"] = kw.get("lm")
+        seen["lm_weight"] = kw.get("lm_weight")
+        return real(*args, **kw)
+
+    monkeypatch.setattr(jd, "joint_beam_search", spy)
+    # infer imports joint_beam_search inside the function from the module, so
+    # the monkeypatch on the module attribute is what it resolves
+    cfg = tiny(preset("transformer-attn"))
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    rois = jnp.asarray(rng.normal(0, 1, (1, 10, 96, 96)).astype(np.float32))
+    infer.decode_ids(params, cfg, rois, jnp.asarray([10]), beam=2,
+                     lm_weight=0.5)
+    assert seen["lm"] is not None and seen["lm_weight"] == 0.5
+    infer._LM_CACHE.clear()
