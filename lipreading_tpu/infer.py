@@ -62,7 +62,12 @@ _LM_CACHE: dict = {}
 
 
 def _load_lm():
-    """Lazily load the shipped char LM (assets/char_lm.npz) as jnp arrays."""
+    """Lazily load the shipped char LM (assets/char_lm.npz).
+
+    MUST be called outside jit (tables are cached; a table first created
+    under tracing leaks the trace — UnexpectedTracerError on the next
+    compile). _decode_jit resolves it eagerly and closes over it.
+    """
     if "lm" not in _LM_CACHE:
         import os
 
@@ -79,7 +84,7 @@ def _load_lm():
 
 
 def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None,
-               lm_weight: float = 0.0):
+               lm_weight: float = 0.0, lm=None):
     """[B, T, R, R] -> (ids [B, L], lengths [B]) on device.
 
     Strategy: CTC greedy for decoder="ctc" (beam <= 1; prefix beam search is
@@ -114,7 +119,8 @@ def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None
         # optional shallow fusion with the shipped char LM (lm.py)
         from lipreading_tpu.ops.joint_decode import joint_beam_search
 
-        lm = _load_lm() if lm_weight > 0.0 else None
+        if lm is None and lm_weight > 0.0:
+            lm = _load_lm()   # safe only when decode_ids runs eagerly
         ctc_t = jnp.repeat(ctc_logits(params, enc), beam, axis=0)
         return joint_beam_search(
             step, state, ctc_t, len_t, B, beam, max_len,
@@ -139,8 +145,9 @@ def _decode_jit(cfg: Config, beam: int, lm_weight: float = 0.0):
     key = (json.dumps(cfg.to_dict(), sort_keys=True, default=str), beam,
            lm_weight)
     if key not in _JIT_CACHE:
+        lm = _load_lm() if lm_weight > 0.0 else None   # resolve OUTSIDE jit
         _JIT_CACHE[key] = jax.jit(
-            lambda p, r, l: decode_ids(p, cfg, r, l, beam, lm_weight)
+            lambda p, r, l: decode_ids(p, cfg, r, l, beam, lm_weight, lm=lm)
         )
     return _JIT_CACHE[key]
 
