@@ -27,6 +27,7 @@ def main(argv):
     fixture_seed = int(args.pop("fixture_seed", 3))
     beam = int(args.pop("beam", cfg.train.beam_width))
     release = args.pop("release", "bigru_ctc")
+    lm_weight = float(args.pop("lm_weight", 0.0))
     if args:
         cfg = cfg.override(**args)
 
@@ -75,7 +76,8 @@ def main(argv):
     T = rois.shape[0]
     padded = -(-T // 64) * 64
     rois = np.pad(rois, ((0, padded - T), (0, 0), (0, 0)))
-    hyp = transcribe(params, cfg, rois[None], jnp.asarray([T]), beam=beam)[0]
+    hyp = transcribe(params, cfg, rois[None], jnp.asarray([T]), beam=beam,
+                     lm_weight=lm_weight)[0]
     dt = time.perf_counter() - t0
     print(f"transcript: {hyp!r}")
     if ref is not None:
