@@ -87,25 +87,34 @@ def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None
                lm_weight: float = 0.0, lm=None):
     """[B, T, R, R] -> (ids [B, L], lengths [B]) on device.
 
-    Strategy: CTC greedy for decoder="ctc" (beam <= 1; prefix beam search is
-    dispatched host-side by ``transcribe``); attention greedy (beam in
-    (0, 1)) or batched device beam search otherwise.
+    Strategy: CTC greedy for decoder="ctc" at beam <= 1, device-side exact
+    CTC prefix beam (ops/joint_decode.ctc_prefix_beam_device) at beam > 1;
+    attention greedy (beam in (0, 1)) or batched device beam search
+    otherwise. Every path is one jitted program — no host decode loops
+    (the reference's per-step Python beam, SURVEY.md §4.3, has no surviving
+    analogue here).
     """
     dtype = _act_dtype(cfg)
     vocab = Vocab()
+    beam = cfg.train.beam_width if beam is None else beam
+    max_len = cfg.train.max_decode_len
     enc = encode(params, cfg, rois, frame_lengths, dtype)
     B = enc.shape[0]
     if cfg.decoder == "ctc":
         logits = ctc_logits(params, enc)
+        if beam > 1:
+            from lipreading_tpu.ops.joint_decode import ctc_prefix_beam_device
+
+            return ctc_prefix_beam_device(
+                logits, frame_lengths, beam, max_len,
+                blank=vocab.blank_id, sos=vocab.sos_id, eos=vocab.eos_id,
+            )
         if jax.default_backend() == "tpu":
             from lipreading_tpu.ops.decode_pallas import ctc_greedy_ids_pallas
 
             return ctc_greedy_ids_pallas(logits, frame_lengths,
                                          blank=vocab.blank_id)
         return ctc_greedy_ids(logits, frame_lengths, blank=vocab.blank_id)
-
-    beam = cfg.train.beam_width if beam is None else beam
-    max_len = cfg.train.max_decode_len
     if beam <= 1:
         state, step, _ = _attention_step_fn(params, cfg, enc, frame_lengths, dtype)
         return greedy_decode(step, state, B, max_len, vocab.sos_id, vocab.eos_id)
@@ -164,26 +173,6 @@ def transcribe(params, cfg: Config, rois, frame_lengths,
     """Batch of ROI sequences -> transcripts (host strings)."""
     vocab = vocab or Vocab()
     beam = cfg.train.beam_width if beam is None else beam
-    if cfg.decoder == "ctc" and beam > 1:
-        # CTC prefix beam search: posteriors on device, beam on host
-        # (mirrors the reference's Python beam loop — SURVEY.md §4.3)
-        from lipreading_tpu.ops.ctc_beam import ctc_beam_decode_batch
-
-        import json as _json
-
-        key = ("ctc_lp", _json.dumps(cfg.to_dict(), sort_keys=True, default=str))
-        if key not in _JIT_CACHE:
-            _JIT_CACHE[key] = jax.jit(
-                lambda p, r, l: ctc_log_probs(p, cfg, r, l)
-            )
-        lp = np.asarray(_JIT_CACHE[key](
-            params, jnp.asarray(rois), jnp.asarray(frame_lengths)
-        ))
-        seqs = ctc_beam_decode_batch(
-            lp, np.asarray(frame_lengths), beam_width=beam,
-            blank=vocab.blank_id,
-        )
-        return [vocab.decode(s) for s in seqs]
     ids, lengths = _decode_jit(cfg, beam, lm_weight)(
         params, jnp.asarray(rois), jnp.asarray(frame_lengths)
     )

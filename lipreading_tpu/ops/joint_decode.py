@@ -123,6 +123,38 @@ def ctc_extension_scores(state, lp, blank: int):
         jnp.moveaxis(r_b_ext, 1, 2)
 
 
+def ctc_prefix_beam_device(logits: jnp.ndarray, lengths: jnp.ndarray,
+                           beam: int, max_len: int, blank: int = 0,
+                           sos: int = 1, eos: int = 2):
+    """Exact CTC prefix beam search as ONE jitted device program.
+
+    Label-synchronous specialization of :func:`joint_beam_search` at
+    ``ctc_weight=1`` with a flat (zero-logit) attention model — the attention
+    term contributes exactly 0 to every expansion, so the search ranks
+    hypotheses purely by the CTC prefix scores psi / full-sequence
+    probabilities from the associative-scan lattice. Replaces the
+    reference-shaped host-side per-utterance Python beam loop
+    (ops/ctc_beam.py, SURVEY.md §4.3), which is retained as the test oracle
+    only; test_joint_decode.py pins the λ=1 equivalence.
+
+    logits: [B, T, V] raw CTC head outputs (pre-log-softmax);
+    lengths: [B]. Returns (ids [B, max_len], out_lengths [B]).
+    """
+    B, T, V = logits.shape
+    BW = B * beam
+
+    def flat_att(state, toks):
+        return state, jnp.zeros((BW, V), jnp.float32)
+
+    return joint_beam_search(
+        flat_att, {"_": jnp.zeros((BW,), jnp.float32)},
+        jnp.repeat(logits, beam, axis=0),
+        jnp.repeat(lengths, beam, axis=0),
+        B, beam, max_len, sos, eos, blank=blank,
+        ctc_weight=1.0, length_penalty=0.0,
+    )
+
+
 def joint_beam_search(
     att_step_fn,
     att_state,
