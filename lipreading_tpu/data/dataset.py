@@ -94,6 +94,13 @@ class BucketedDataset:
             fl[k] = t
             text = self.view.text(vi)
             ids = self.vocab.encode(text)[: L - 2]
+            # keep the CTC alignment feasible: (t-1)//2 labels always admit
+            # a path in t frames (2L+1 <= t even with all-repeat labels).
+            # Without this, a clip head-truncated to the largest bucket keeps
+            # its full caption and the per-sample NLL saturates (~1e30),
+            # spiking the logged loss while contributing zero gradient.
+            max_labels = max((t - 1) // 2, 1)
+            ids = ids[:max_labels]
             text = self.vocab.decode(ids)
             targets[k], tl[k] = self.vocab.encode_target(text, L)
             ctc[k, : len(ids)] = ids

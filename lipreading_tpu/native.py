@@ -98,7 +98,6 @@ def ert_predict(model, gray, box) -> np.ndarray:
     S, P = model.anchors.shape
     K = model.num_trees
     D = model.depth
-    assert P <= 512, "native ERT supports pool <= 512"
     out = np.empty((68, 2), np.float32)
     lib.lr_ert_predict(
         _ptr(gray), H, W,
@@ -118,7 +117,6 @@ def preprocess_clip(model, frames, boxes, roi_margin=0.30, out_size=96,
     boxes = _f32(boxes)
     ms, anc, off, f1, f2, th, lv = _ert_arrays(model)
     S, P = model.anchors.shape
-    assert P <= 512, "native ERT supports pool <= 512"
     rois = np.empty((T, out_size, out_size), np.float32)
     lms = np.empty((T, 68, 2), np.float32) if return_landmarks else None
     lib.lr_preprocess_clip(

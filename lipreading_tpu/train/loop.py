@@ -86,11 +86,44 @@ class Trainer:
             self.params = replicate(params, self.mesh)
         self.tx = make_optimizer(cfg)
         opt_state = self.tx.init(self.params)
-        self.opt_state = (jax.device_put(opt_state)
-                          if self._param_sharding is not None
-                          else replicate(opt_state, self.mesh))
+        if self._param_sharding is not None:
+            # mu/nu mirror the param tree -> same shardings; scalars
+            # (step counts) replicate. Explicit placement keeps the
+            # optimizer state sharded across init, restore, and the jitted
+            # step (donation-stable layouts).
+            self._opt_sharding = self._opt_shardings(opt_state)
+            self.opt_state = jax.device_put(opt_state, self._opt_sharding)
+        else:
+            self._opt_sharding = None
+            self.opt_state = replicate(opt_state, self.mesh)
         self.step = 0
         self._jit_step = self._build_step()
+
+    def _opt_shardings(self, opt_state):
+        """Sharding tree for the optimizer state under tensor parallelism.
+
+        Optax's AdamW state embeds two copies of the param tree (mu, nu);
+        their leaves take the matching param's NamedSharding, found by the
+        longest param-path suffix of the opt-state leaf path. Everything
+        else (counts, scalars) replicates.
+        """
+        from jax.tree_util import keystr, tree_flatten_with_path
+
+        rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+        by_path = {
+            keystr(p): s
+            for p, s in tree_flatten_with_path(self._param_sharding)[0]
+        }
+
+        def pick(path, leaf):
+            ks = keystr(path)
+            best = None
+            for pk, sh in by_path.items():
+                if ks.endswith(pk) and (best is None or len(pk) > len(best[0])):
+                    best = (pk, sh)
+            return best[1] if best is not None else rep
+
+        return jax.tree_util.tree_map_with_path(pick, opt_state)
 
     def _build_step(self):
         cfg, tx = self.cfg, self.tx
@@ -114,12 +147,13 @@ class Trainer:
             "target_lengths": bsh, "ctc_labels": bsh, "ctc_lengths": bsh,
         }
         if self._param_sharding is not None:
-            # TP: params/grads/opt follow the annotation tree; XLA chooses
-            # output shardings for the opt state to match
+            # TP: params/grads/opt all follow the annotation trees; pinned
+            # opt-state shardings keep donation layouts stable across resume
             return jax.jit(
                 step_fn,
-                in_shardings=(self._param_sharding, None, batch_shardings, rep),
-                out_shardings=(self._param_sharding, None, rep),
+                in_shardings=(self._param_sharding, self._opt_sharding,
+                              batch_shardings, rep),
+                out_shardings=(self._param_sharding, self._opt_sharding, rep),
                 donate_argnums=(0, 1),
             )
         return jax.jit(
@@ -208,11 +242,18 @@ class Trainer:
             path, self.params, self.opt_state
         )
         self.step = step
-        self.params = replicate(params, self.mesh)
-        self.opt_state = replicate(
-            opt_state if opt_state is not None else self.tx.init(params),
-            self.mesh,
-        )
+        opt_state = (opt_state if opt_state is not None
+                     else self.tx.init(params))
+        if self._param_sharding is not None:
+            # re-apply the tensor-parallel layouts: a resumed TP run must
+            # hold params/opt sharded exactly as __init__ placed them
+            # (replicating here would feed full-replica copies into a jit
+            # whose in_shardings expect TP — layout churn, OOM at scale)
+            self.params = jax.device_put(params, self._param_sharding)
+            self.opt_state = jax.device_put(opt_state, self._opt_sharding)
+        else:
+            self.params = replicate(params, self.mesh)
+            self.opt_state = replicate(opt_state, self.mesh)
         return it_state
 
 class FusedTrainer(Trainer):

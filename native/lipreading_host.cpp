@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cmath>
 #include <algorithm>
+#include <vector>
 
 extern "C" {
 
@@ -50,10 +51,13 @@ static inline void interp_axis(int n, int off, int limit, int out_size,
 void lr_sample_roi(const float* gray, int H, int W,
                    int x0, int y0, int size, int out_size,
                    float mean, float stdev, int normalize, float* out) {
-    int yi[256], xi[256];
-    float yf[256], xf[256];
-    interp_axis(size, y0, H, out_size, yi, yf);
-    interp_axis(size, x0, W, out_size, xi, xf);
+    if (out_size <= 0 || size <= 0 || H < 2 || W < 2) return;
+    // heap interpolation tables: any out_size is legal (the old fixed
+    // int[256] buffers were silent stack corruption past 256)
+    std::vector<int> yi(out_size), xi(out_size);
+    std::vector<float> yf(out_size), xf(out_size);
+    interp_axis(size, y0, H, out_size, yi.data(), yf.data());
+    interp_axis(size, x0, W, out_size, xi.data(), xf.data());
     for (int i = 0; i < out_size; ++i) {
         const float* row0 = gray + yi[i] * W;
         const float* row1 = gray + (yi[i] + 1) * W;
@@ -87,7 +91,7 @@ void lr_ert_predict(const float* gray, int H, int W,
     const int NL = 1 << D;
     float shape[136];
     for (int i = 0; i < 136; ++i) shape[i] = mean_shape[i];
-    float vals[512];  // P <= 512
+    std::vector<float> vals(P > 0 ? P : 1);  // any pool size is legal
 
     for (int s = 0; s < S; ++s) {
         const int32_t* anc = anchors + s * P;

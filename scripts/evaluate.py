@@ -111,7 +111,14 @@ def evaluate_dataview(params, cfg, dataview_path, split, beam):
 
     view = Dataview(dataview_path)
     splits = split_by_clip(view, {"train": 0.9, "val": 0.1}, seed=0)
-    idx = splits.get(split) or list(range(len(view)))
+    if split not in splits or not splits[split]:
+        # a silent fall-through to the WHOLE dataview would report train-
+        # contaminated CER/WER as if held-out
+        raise SystemExit(
+            f"split {split!r} missing or empty; have "
+            f"{ {k: len(v) for k, v in splits.items()} }"
+        )
+    idx = splits[split]
     ds = BucketedDataset(view, cfg.data, indices=idx)
     hyps, refs = [], []
     B = 8

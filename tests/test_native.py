@@ -42,6 +42,39 @@ def test_native_ert(clip):
     np.testing.assert_allclose(got, want, atol=1e-3)
 
 
+def test_native_roi_adversarial_sizes_fuzz(clip):
+    """out_size beyond the old 256-entry stack buffers and odd/extreme crop
+    boxes must stay exact vs the oracle (the old fixed int[256] tables were
+    silent stack corruption past 256 — VERDICT r1 weak #6)."""
+    g = ogray(clip.frames[0])
+    H, W = g.shape
+    rng = np.random.default_rng(99)
+    cases = [(0, 0, 2, 1), (5, 7, 3, 257), (10, 12, 97, 300),
+             (0, 0, min(H, W), 512), (33, 21, 101, 384)]
+    for _ in range(10):
+        s = int(rng.integers(2, min(H, W)))
+        x0 = int(rng.integers(0, W - s + 1))
+        y0 = int(rng.integers(0, H - s + 1))
+        out = int(rng.integers(2, 420))
+        cases.append((x0, y0, s, out))
+    for x0, y0, s, out in cases:
+        want = ((sample_roi(g, (x0, y0, s, s), out) / 255.0
+                 - np.float32(0.421)) / np.float32(0.165))
+        got = native.sample_roi(g, (x0, y0, s), out_size=out)
+        np.testing.assert_allclose(got, want, atol=1e-4,
+                                   err_msg=str((x0, y0, s, out)))
+
+
+def test_native_ert_large_pool(clip):
+    """Pool sizes past the old 512 cap work (heap-allocated vals)."""
+    model = oert.random_ert(2, pool=700)
+    g = ogray(clip.frames[0])
+    box = (20.0, 25.0, 110.0)
+    want = oert.predict(model, g, box)
+    got = native.ert_predict(model, g, box)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
 def test_native_full_clip(assets, clip):
     """Whole-clip native preprocessing vs the python oracle pipeline."""
     from lipreading_tpu.oracle.pipeline import run_clip
