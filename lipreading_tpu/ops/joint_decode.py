@@ -152,6 +152,7 @@ def ctc_prefix_beam_device(logits: jnp.ndarray, lengths: jnp.ndarray,
         jnp.repeat(lengths, beam, axis=0),
         B, beam, max_len, sos, eos, blank=blank,
         ctc_weight=1.0, length_penalty=0.0,
+        require_finished=True,
     )
 
 
@@ -170,6 +171,7 @@ def joint_beam_search(
     length_penalty: float = 0.0,
     lm=None,
     lm_weight: float = 0.0,
+    require_finished: bool = False,
 ):
     """One-pass joint decode. ``att_state`` leaves and ``ctc_logits``/
     ``frame_lengths`` must already be tiled to B*W (like ops.decode
@@ -282,7 +284,16 @@ def joint_beam_search(
     seq = jnp.moveaxis(jnp.moveaxis(rev_toks[::-1], 0, 1), 2, 1)  # [B, W, L]
 
     norm = ((lengths.astype(jnp.float32) + 5.0) / 6.0) ** length_penalty
-    best = jnp.argmax(scores / jnp.maximum(norm, 1e-6), axis=1)
+    sel = scores / jnp.maximum(norm, 1e-6)
+    if require_finished:
+        # pure-CTC mode: an UNfinished beam carries psi(prefix) — the mass of
+        # ALL completions — which structurally dominates any finished beam's
+        # full-sequence score. Selecting it would return a spuriously long
+        # prefix; restrict to finished hypotheses (fall back to raw scores
+        # only if nothing finished within max_len).
+        masked = jnp.where(finished, sel, NEG_INF)
+        sel = jnp.where(finished.any(axis=1, keepdims=True), masked, sel)
+    best = jnp.argmax(sel, axis=1)
     ids = jnp.take_along_axis(seq, best[:, None, None], axis=1)[:, 0]
     best_len = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
     pos = jnp.arange(max_len)[None, :]
