@@ -302,3 +302,70 @@ def make_clips(seed: int, n: int, cfg: DataConfig | None = None,
                variation: float = 0.0) -> list[Clip]:
     return [make_clip(seed * 10_000 + i, cfg, variation=variation)
             for i in range(n)]
+
+
+# --- robustness fixtures (default-off helpers; never touch make_clip bytes) —
+# the reference's preprocessing loop faces frames where dlib returns 0 or >1
+# detections (SURVEY.md §4.1 dets[0] / skip-frame semantics). These helpers
+# synthesize exactly those cases for the tracking/presence tests.
+
+
+def render_faceless_frames(seed: int, n: int, cfg: DataConfig | None = None,
+                           variation: float = 0.0) -> np.ndarray:
+    """[n, H, W, 3] u8 background-only frames (the renderer's bg + noise,
+    no face painted) — what a cutaway/slate frame looks like."""
+    cfg = cfg or DataConfig()
+    rng = np.random.default_rng(np.random.SeedSequence([0x0FF, seed]))
+    style = _sample_style(seed, variation)
+    H, W = cfg.frame_height, cfg.frame_width
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    c0 = rng.uniform(60, 110, size=3) + style["bg_shift"]
+    c1 = rng.uniform(90, 150, size=3) + style["bg_shift"]
+    bg = c0[None, None, :] + (c1 - c0)[None, None, :] * (yy / H)[..., None]
+    out = np.empty((n, H, W, 3), np.uint8)
+    for t in range(n):
+        noise = rng.normal(0.0, style["noise_sigma"], size=(H, W, 1))
+        out[t] = np.clip(bg + noise, 0, 255).astype(np.uint8)
+    return out
+
+
+def blank_out_frames(clip: Clip, idxs, seed: int = 0) -> np.ndarray:
+    """Copy of clip.frames with the given frame indices replaced by faceless
+    background frames (simulated cutaway)."""
+    frames = clip.frames.copy()
+    idxs = list(idxs)
+    bg = render_faceless_frames(seed, len(idxs),
+                                DataConfig(frame_height=frames.shape[1],
+                                           frame_width=frames.shape[2]))
+    for k, t in enumerate(idxs):
+        frames[t] = bg[k]
+    return frames
+
+
+def paste_second_face(clip: Clip, donor_seed: int = 777,
+                      scale: float = 0.6) -> np.ndarray:
+    """Copy of clip.frames with a second, smaller face composited into the
+    corner farthest from the true face (two-detection disambiguation case)."""
+    frames = clip.frames.copy()
+    T, H, W, _ = frames.shape
+    donor = make_clip(donor_seed)
+    for t in range(T):
+        d = donor.frames[min(t, donor.frames.shape[0] - 1)]
+        x0, y0, bw, bh = donor.boxes[min(t, donor.boxes.shape[0] - 1)]
+        pad = 0.25
+        x0 = max(int(x0 - pad * bw), 0)
+        y0 = max(int(y0 - pad * bh), 0)
+        x1 = min(int(x0 + (1 + 2 * pad) * bw), d.shape[1])
+        y1 = min(int(y0 + (1 + 2 * pad) * bh), d.shape[0])
+        patch = d[y0:y1, x0:x1]
+        ph = max(int(patch.shape[0] * scale), 8)
+        pw = max(int(patch.shape[1] * scale), 8)
+        ys = (np.arange(ph) * patch.shape[0] / ph).astype(np.int32)
+        xs = (np.arange(pw) * patch.shape[1] / pw).astype(np.int32)
+        small = patch[ys[:, None], xs[None, :]]
+        # farthest corner from the true face box
+        fx, fy = clip.boxes[t][0], clip.boxes[t][1]
+        cy = 0 if fy > H / 2 else H - ph
+        cx = 0 if fx > W / 2 else W - pw
+        frames[t, cy:cy + ph, cx:cx + pw] = small
+    return frames

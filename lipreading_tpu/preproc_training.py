@@ -170,6 +170,84 @@ def train_all(
     return det_params, ert_model, {"det_err_px": det_err, "ert_err": ert_err}
 
 
+def train_presence_head(
+    det_params,
+    pos_gray: np.ndarray,
+    neg_gray: np.ndarray,
+    pos_boxes: np.ndarray,
+    seed: int = 0,
+    steps: int = 600,
+    lr: float = 5e-2,
+) -> dict[str, np.ndarray]:
+    """Train the per-cell face-presence head on the FROZEN detector trunk.
+
+    The detector's own score channel is trained one-hot on frames that
+    always contain a face, so it is uncalibrated on faceless input (a blank
+    white frame scores 0.997 — measured). This logistic head sees negative
+    (faceless) frames and gives the tracking layer (ops/tracking.py) a
+    usable confidence without touching the shipped detector weights.
+
+    pos_gray [N, H, W] face frames with pos_boxes [N, 3+]; neg_gray [M, H, W]
+    faceless frames. Returns a two-layer head {"w1", "b1", "w2", "b2"}.
+    """
+    H, W = pos_gray.shape[1:]
+    det = ddet.params_to_jax(det_params)
+    feats_p = ddet.forward_features(
+        det, resize_frames(jnp.asarray(pos_gray), odet.INPUT))[0]
+    feats_n = ddet.forward_features(
+        det, resize_frames(jnp.asarray(neg_gray), odet.INPUT))[0]
+    # positive target: the cell containing the face center; everything else
+    # (incl. every cell of faceless frames) is negative
+    cell, _, _ = detector_targets(np.asarray(pos_boxes)[:, :3], H, W)
+    y_p = jax.nn.one_hot(jnp.asarray(cell), 64).reshape(-1, 8, 8)
+    y_n = jnp.zeros((feats_n.shape[0], 8, 8))
+    feats = jnp.concatenate([feats_p, feats_n])
+    y = jnp.concatenate([y_p, y_n])
+
+    krng = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(krng)
+    C, Hd = feats.shape[-1], 16
+    params = {
+        "w1": jax.random.normal(k1, (C, Hd)) * np.sqrt(2.0 / C),
+        "b1": jnp.zeros((Hd,)),
+        "w2": jax.random.normal(k2, (Hd,)) * np.sqrt(1.0 / Hd),
+        "b2": jnp.zeros(()),
+    }
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        def loss_fn(p):
+            logits = ddet.presence_logits(p, feats)
+            # weight positives up: 1 positive cell vs 63 negatives per frame
+            w = jnp.where(y > 0, 32.0, 1.0)
+            return (optax.sigmoid_binary_cross_entropy(logits, y) * w).mean()
+
+        l, g = jax.value_and_grad(loss_fn)(p)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o, l
+
+    for _ in range(steps):
+        params, opt, l = step(params, opt)
+    return {k: np.asarray(v) for k, v in params.items()}
+
+
+def save_presence(params: dict, path) -> None:
+    np.savez_compressed(path, **params)
+
+
+def load_presence(assets_dir: str | None = None, variant: str = "default"):
+    """Load the face-presence head for a detector variant (or None)."""
+    d = assets_dir or ASSETS_DIR
+    sfx = "" if variant == "default" else f"_{variant}"
+    path = os.path.join(d, f"presence{sfx}.npz")
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    return {k: z[k] for k in z.files}
+
+
 def load_assets(assets_dir: str | None = None, variant: str = "default"):
     """Load checked-in preprocessing weights (detector params, ERT model).
 
