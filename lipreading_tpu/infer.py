@@ -61,6 +61,16 @@ def _attention_step_fn(params, cfg: Config, enc, enc_lengths, dtype):
 _LM_CACHE: dict = {}
 
 
+def _load_lexicon():
+    """Lazily build the fixture-corpus lexicon DFA (lexicon.py). Same
+    trace-safety rule as _load_lm: resolve OUTSIDE jit."""
+    if "lex" not in _LM_CACHE:
+        from lipreading_tpu.lexicon import fixture_lexicon, to_jax
+
+        _LM_CACHE["lex"] = to_jax(fixture_lexicon())
+    return _LM_CACHE["lex"]
+
+
 def _load_lm():
     """Lazily load the shipped char LM (assets/char_lm.npz).
 
@@ -84,7 +94,7 @@ def _load_lm():
 
 
 def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None,
-               lm_weight: float = 0.0, lm=None):
+               lm_weight: float = 0.0, lm=None, lexicon=None):
     """[B, T, R, R] -> (ids [B, L], lengths [B]) on device.
 
     Strategy: CTC greedy for decoder="ctc" at beam <= 1, device-side exact
@@ -108,6 +118,7 @@ def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None
             return ctc_prefix_beam_device(
                 logits, frame_lengths, beam, max_len,
                 blank=vocab.blank_id, sos=vocab.sos_id, eos=vocab.eos_id,
+                lexicon=lexicon,
             )
         if jax.default_backend() == "tpu":
             from lipreading_tpu.ops.decode_pallas import ctc_greedy_ids_pallas
@@ -136,7 +147,7 @@ def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None
             vocab.sos_id, vocab.eos_id, blank=vocab.blank_id,
             ctc_weight=cfg.train.ctc_weight,
             length_penalty=cfg.train.length_penalty,
-            lm=lm, lm_weight=lm_weight,
+            lm=lm, lm_weight=lm_weight, lexicon=lexicon,
         )
     return beam_search(
         step, state, B, beam, max_len, vocab.sos_id, vocab.eos_id,
@@ -147,16 +158,19 @@ def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None
 _JIT_CACHE: dict = {}
 
 
-def _decode_jit(cfg: Config, beam: int, lm_weight: float = 0.0):
-    """Per-(config, beam, lm) jitted decode closure (Config isn't hashable)."""
+def _decode_jit(cfg: Config, beam: int, lm_weight: float = 0.0,
+                use_lexicon: bool = False):
+    """Per-(config, beam, lm, lexicon) jitted decode closure."""
     import json
 
     key = (json.dumps(cfg.to_dict(), sort_keys=True, default=str), beam,
-           lm_weight)
+           lm_weight, use_lexicon)
     if key not in _JIT_CACHE:
         lm = _load_lm() if lm_weight > 0.0 else None   # resolve OUTSIDE jit
+        lex = _load_lexicon() if use_lexicon else None
         _JIT_CACHE[key] = jax.jit(
-            lambda p, r, l: decode_ids(p, cfg, r, l, beam, lm_weight, lm=lm)
+            lambda p, r, l: decode_ids(p, cfg, r, l, beam, lm_weight, lm=lm,
+                                       lexicon=lex)
         )
     return _JIT_CACHE[key]
 
@@ -169,11 +183,16 @@ def ctc_log_probs(params, cfg: Config, rois, frame_lengths):
 
 def transcribe(params, cfg: Config, rois, frame_lengths,
                beam: int | None = None, vocab: Vocab | None = None,
-               lm_weight: float = 0.0) -> list[str]:
-    """Batch of ROI sequences -> transcripts (host strings)."""
+               lm_weight: float = 0.0, use_lexicon: bool = False) -> list[str]:
+    """Batch of ROI sequences -> transcripts (host strings).
+
+    ``use_lexicon``: constrain beam decodes (CTC prefix beam / joint) to the
+    fixture-corpus word lexicon with word-LM boundary rescoring
+    (lipreading_tpu/lexicon.py). Greedy decodes ignore it.
+    """
     vocab = vocab or Vocab()
     beam = cfg.train.beam_width if beam is None else beam
-    ids, lengths = _decode_jit(cfg, beam, lm_weight)(
+    ids, lengths = _decode_jit(cfg, beam, lm_weight, use_lexicon)(
         params, jnp.asarray(rois), jnp.asarray(frame_lengths)
     )
     ids = np.asarray(ids)

@@ -125,7 +125,7 @@ def ctc_extension_scores(state, lp, blank: int):
 
 def ctc_prefix_beam_device(logits: jnp.ndarray, lengths: jnp.ndarray,
                            beam: int, max_len: int, blank: int = 0,
-                           sos: int = 1, eos: int = 2):
+                           sos: int = 1, eos: int = 2, lexicon=None):
     """Exact CTC prefix beam search as ONE jitted device program.
 
     Label-synchronous specialization of :func:`joint_beam_search` at
@@ -152,7 +152,7 @@ def ctc_prefix_beam_device(logits: jnp.ndarray, lengths: jnp.ndarray,
         jnp.repeat(lengths, beam, axis=0),
         B, beam, max_len, sos, eos, blank=blank,
         ctc_weight=1.0, length_penalty=0.0,
-        require_finished=True,
+        require_finished=True, lexicon=lexicon,
     )
 
 
@@ -172,6 +172,8 @@ def joint_beam_search(
     lm=None,
     lm_weight: float = 0.0,
     require_finished: bool = False,
+    lexicon=None,
+    lexicon_weight: float = 1.0,
 ):
     """One-pass joint decode. ``att_state`` leaves and ``ctc_logits``/
     ``frame_lengths`` must already be tiled to B*W (like ops.decode
@@ -179,7 +181,12 @@ def joint_beam_search(
 
     ``lm``: optional (table [V^(n-1), V] jnp array, order) for shallow
     fusion — adds lm_weight * log P_lm(c | context) to every expansion
-    (lipreading_tpu/lm.py)."""
+    (lipreading_tpu/lm.py).
+
+    ``lexicon``: optional DFA tables (lipreading_tpu/lexicon.py, to_jax):
+    every beam carries a trie state; expansions off the lexicon are masked
+    to -inf and word boundaries add lexicon_weight * log P(word) — hard
+    word-constrained search fused with everything above."""
     BW = batch * beam
     lp = mask_ctc_logp(ctc_logits, frame_lengths, blank)     # [BW, T, V]
     V = lp.shape[-1]
@@ -191,9 +198,11 @@ def joint_beam_search(
         lm_ctx0 = initial_context(BW, lm_order)
     else:
         lm_table = lm_order = lm_ctx0 = None
+    lex_next = lexicon["next_state"] if lexicon is not None else None
+    lex_bonus = lexicon["bonus"] if lexicon is not None else None
 
     def body(carry, _):
-        att, ctc, lm_ctx, scores, toks, finished, lengths = carry
+        att, ctc, lm_ctx, lex_state, scores, toks, finished, lengths = carry
         att, att_logits = att_step_fn(att, toks.reshape(BW))
         att_lp = jax.nn.log_softmax(att_logits.astype(jnp.float32), axis=-1)
 
@@ -207,6 +216,11 @@ def joint_beam_search(
         joint = (1.0 - ctc_weight) * att_lp + ctc_weight * delta
         if lm_table is not None:
             joint = joint + lm_weight * lm_table[lm_ctx]     # [BW, V] fusion
+        if lex_next is not None:
+            # hard lexicon constraint + word-LM boundary bonus: one gather
+            add = lex_bonus[lex_state]                       # [BW, V]
+            joint = joint + jnp.where(add > NEG_INF / 2,
+                                      lexicon_weight * add, NEG_INF)
         joint = jnp.where(bad[None, :], NEG_INF, joint)
         joint = joint.reshape(batch, beam, V)
 
@@ -252,11 +266,18 @@ def joint_beam_search(
             lm_ctx = advance_context(
                 gather_beam(lm_ctx), flat_tok, lm_order, V
             )
+        if lex_next is not None:
+            g = gather_beam(lex_state)
+            stepped = jnp.take_along_axis(
+                lex_next[g], flat_tok[:, None], axis=1
+            )[:, 0]
+            # finished beams re-emit eos; keep their state frozen
+            lex_state = jnp.where(chose_eos, g, jnp.maximum(stepped, 0))
         finished = jnp.take_along_axis(finished, src_beam, axis=1)
         lengths = jnp.take_along_axis(lengths, src_beam, axis=1)
         lengths = lengths + (~finished).astype(jnp.int32)
         finished = finished | (new_tok == eos)
-        return (att, new_ctc, lm_ctx, new_scores, new_tok, finished,
+        return (att, new_ctc, lm_ctx, lex_state, new_scores, new_tok, finished,
                 lengths), (new_tok, src_beam)
 
     scores0 = jnp.tile(
@@ -267,8 +288,11 @@ def joint_beam_search(
     fin0 = jnp.zeros((batch, beam), bool)
     len0 = jnp.zeros((batch, beam), jnp.int32)
     lm_carry = lm_ctx0 if lm_table is not None else jnp.zeros((BW,), jnp.int32)
-    (_, _, _, scores, _, finished, lengths), (toks, srcs) = jax.lax.scan(
-        body, (att_state, ctc_state, lm_carry, scores0, toks0, fin0, len0),
+    lex_carry = jnp.zeros((BW,), jnp.int32)        # DFA root
+    (_, _, _, _, scores, _, finished, lengths), (toks, srcs) = jax.lax.scan(
+        body,
+        (att_state, ctc_state, lm_carry, lex_carry, scores0, toks0, fin0,
+         len0),
         None, length=max_len,
     )
 

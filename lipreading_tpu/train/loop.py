@@ -179,22 +179,35 @@ class Trainer:
             eval_batches: list[Batch] | None = None) -> dict:
         t_cfg = self.cfg.train
         steps = steps if steps is not None else t_cfg.total_steps
+        from lipreading_tpu.flops import device_peak_flops, train_step_flops
+
+        peak = device_peak_flops(self.cfg.model.dtype)
         last = {}
         t0 = time.perf_counter()
         window_frames = 0
+        window_flops = 0.0
         for _ in range(steps):
             batch = next(iterator)
             metrics = self.train_step(batch)
             window_frames += int(batch.frame_lengths.sum())
+            B, T = batch.rois_u8.shape[:2] if hasattr(batch, "rois_u8") \
+                else (batch.frames.shape[0], batch.frames.shape[1])
+            window_flops += train_step_flops(
+                self.cfg, B, T, int(batch.target_lengths.max())
+            )
             if self.step % t_cfg.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.perf_counter() - t0
                 m["frames_per_sec"] = window_frames / dt if dt > 0 else 0.0
+                m["tflops_per_sec"] = window_flops / dt / 1e12 if dt > 0 else 0.0
+                if peak and dt > 0:
+                    m["mfu"] = window_flops / dt / peak
                 m["epoch"] = iterator.epoch
                 self.logger.log(self.step, **m)
                 last = m
                 t0 = time.perf_counter()
                 window_frames = 0
+                window_flops = 0.0
             if t_cfg.eval_every and self.step % t_cfg.eval_every == 0 and eval_batches:
                 last.update(self.evaluate(eval_batches))
             if t_cfg.checkpoint_every and self.step % t_cfg.checkpoint_every == 0:

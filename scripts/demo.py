@@ -28,6 +28,13 @@ def main(argv):
     beam = int(args.pop("beam", cfg.train.beam_width))
     release = args.pop("release", "bigru_ctc")
     lm_weight = float(args.pop("lm_weight", 0.0))
+    use_lexicon = args.pop("lexicon", "0") in ("1", "true")
+    # auto-pair preprocessing assets with the release model's training stack:
+    # a *_robust model was trained behind the robust detector/ERT — decoding
+    # it through the default stack mismatches what it saw (VERDICT r1 weak #7)
+    assets_variant = args.pop(
+        "assets_variant", "robust" if release.endswith("_robust") else "default"
+    )
     if args:
         cfg = cfg.override(**args)
 
@@ -67,7 +74,7 @@ def main(argv):
         else:
             print("WARNING: no checkpoint; transcribing with random weights")
 
-    det_np, ert_np = load_assets()
+    det_np, ert_np = load_assets(variant=assets_variant)
     det, ert = params_to_jax(det_np), model_to_jax(ert_np)
 
     t0 = time.perf_counter()
@@ -77,7 +84,7 @@ def main(argv):
     padded = -(-T // 64) * 64
     rois = np.pad(rois, ((0, padded - T), (0, 0), (0, 0)))
     hyp = transcribe(params, cfg, rois[None], jnp.asarray([T]), beam=beam,
-                     lm_weight=lm_weight)[0]
+                     lm_weight=lm_weight, use_lexicon=use_lexicon)[0]
     dt = time.perf_counter() - t0
     print(f"transcript: {hyp!r}")
     if ref is not None:

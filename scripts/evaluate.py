@@ -27,6 +27,7 @@ def main(argv):
     beam = int(args.pop("beam", cfg.train.beam_width))
     decode = args.pop("decode", None)   # decode via "ctc"/"attention" head
     lm_weight = float(args.pop("lm_weight", 0.0))
+    use_lexicon = args.pop("lexicon", "0") in ("1", "true")
     variation = float(args.pop("variation", 0.0))
     assets_variant = args.pop("assets_variant",
                               "robust" if variation > 0 else "default")
@@ -86,7 +87,7 @@ def main(argv):
         rois = np.pad(rois, ((0, padded - T), (0, 0), (0, 0)))
         hyp = transcribe(
             params, cfg, rois[None], jnp.asarray([T]), beam=beam,
-            lm_weight=lm_weight,
+            lm_weight=lm_weight, use_lexicon=use_lexicon,
         )[0]
         hyps.append(hyp)
         refs.append(clip.text)

@@ -36,14 +36,13 @@ def main(argv):
 def build_from_video(out, args):
     """Real-video path: decode + device preprocessing + VTT alignment."""
     import numpy as np
-    import jax.numpy as jnp
 
     from lipreading_tpu.config import DataConfig, PreprocessConfig
     from lipreading_tpu.data.dataview import DataviewWriter, roi_to_u8
     from lipreading_tpu.data.video import decode_video
     from lipreading_tpu.ops.detector import params_to_jax
     from lipreading_tpu.ops.ert import model_to_jax
-    from lipreading_tpu.ops.preprocess import preprocess_frames
+    from lipreading_tpu.ops.preprocess import preprocess_padded
     from lipreading_tpu.preproc_training import load_assets
     from lipreading_tpu.vtt import align_cues_to_frames, parse_vtt
 
@@ -52,10 +51,13 @@ def build_from_video(out, args):
     det, ert = params_to_jax(det_np), model_to_jax(ert_np)
     frames, fps = decode_video(args["video"])
     writer = DataviewWriter(out, DataConfig(fps=fps), pre_cfg)
+    # bucket-padded preprocessing: the ragged tail pads to a 256-frame
+    # bucket instead of compiling one XLA program per distinct tail length
+    # (20-40 s each over the axon tunnel)
     rois = []
     for lo in range(0, len(frames), 256):
-        r = preprocess_frames(det, ert, jnp.asarray(frames[lo:lo + 256]), pre_cfg)
-        rois.append(np.asarray(r))
+        rois.append(preprocess_padded(det, ert, frames[lo:lo + 256],
+                                      pre_cfg, bucket=256))
     roi_u8 = roi_to_u8(np.concatenate(rois), pre_cfg)
     cues = parse_vtt(open(args["vtt"]).read())
     for j, (first, last, text) in enumerate(

@@ -97,3 +97,25 @@ def test_prefetcher_propagates_errors():
     with pytest.raises(ValueError, match="decode failed"):
         next(pf)
     pf.close()
+
+
+def test_preprocess_padded_bounds_compiles(assets):
+    """Ragged clip lengths through preprocess_padded must hit bucketed
+    shapes — ONE compile per bucket, never one per distinct tail length
+    (VERDICT r1 weak #5: the real-video dataview build recompiled per tail;
+    20-40 s per compile over the axon tunnel)."""
+    from lipreading_tpu.fixtures import make_clip
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+    from lipreading_tpu.ops import preprocess as pp
+
+    det_np, ert_np = assets
+    det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+    frames = make_clip(91, text="the quick brown fox jumps over it").frames
+    assert frames.shape[0] >= 65
+    pp._PADDED_CACHE.clear()
+    for n in (7, 19, 33, 50, 64, 65):          # ragged lengths
+        r = pp.preprocess_padded(det, ert, frames[:n], bucket=64)
+        assert r.shape[0] == n
+    # lengths <=64 share one 64-bucket program; 65 adds the 128 bucket
+    assert len(pp._PADDED_CACHE) == 2, list(pp._PADDED_CACHE)
