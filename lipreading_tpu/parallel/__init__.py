@@ -6,11 +6,12 @@ train step, and let the XLA SPMD partitioner emit psum/all-gather over ICI.
 No communication code exists in this package by design.
 
 Sequence/context parallelism (SURVEY.md §6 stretch item): clips here are
-cue-length (tens-hundreds of frames) so the time axis fits one chip; if clip
-length ever grows, the TPU-idiomatic extension is sharding T over a mesh
-axis with blockwise/ring attention over ICI neighbors in the transformer
-encoder — the Mesh/NamedSharding plumbing in mesh.py already carries the
-extra axis.
+cue-length (tens-hundreds of frames) so the time axis fits one chip; for
+long clips, ring.py implements the TPU-idiomatic extension — the time axis
+shards over the ``model`` mesh axis and the transformer encoder's
+self-attention streams k/v blocks around the ICI ring (jax.lax.ppermute)
+with an exact online-softmax accumulator (ring_encoder_apply; equivalence
+with the unsharded encoder is test-pinned on the CPU mesh, tests/test_ring.py).
 """
 
 from lipreading_tpu.parallel.mesh import (  # noqa: F401

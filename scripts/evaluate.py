@@ -28,6 +28,7 @@ def main(argv):
     decode = args.pop("decode", None)   # decode via "ctc"/"attention" head
     lm_weight = float(args.pop("lm_weight", 0.0))
     use_lexicon = args.pop("lexicon", "0") in ("1", "true")
+    release = args.pop("release", "bigru_ctc")
     variation = float(args.pop("variation", 0.0))
     assets_variant = args.pop("assets_variant",
                               "robust" if variation > 0 else "default")
@@ -59,10 +60,10 @@ def main(argv):
     else:
         from lipreading_tpu.preproc_training import load_release_model
 
-        rel = load_release_model()
+        rel = load_release_model(release)
         if rel is not None:
             params, cfg = rel
-            print("using release checkpoint assets/bigru_ctc.msgpack")
+            print(f"using release checkpoint assets/{release}.msgpack")
         else:
             print("WARNING: no checkpoint found; evaluating random init")
 

@@ -179,9 +179,14 @@ def test_evaluate_dataview_split_plumbing(dataview, capsys):
     spec.loader.exec_module(mod)
     cfg = tiny_cfg()
     params = init_model(jax.random.PRNGKey(0), cfg)
-    mod.evaluate_dataview(params, cfg, dataview.path, "val", beam=1)
+    # the tiny fixture dataview has too few clips for a val split; eval the
+    # train split and assert the empty-split guard fires loudly for "val"
+    # (ADVICE r1: the old code silently evaluated the WHOLE dataview)
+    mod.evaluate_dataview(params, cfg, dataview.path, "train", beam=1)
     out = capsys.readouterr().out
     assert "CER=" in out
+    with pytest.raises(SystemExit, match="missing or empty"):
+        mod.evaluate_dataview(params, cfg, dataview.path, "val", beam=1)
 
 
 def test_variation_dataview_builds(tmp_path):
