@@ -167,6 +167,26 @@ def train_all(
 
     odet.save_params(det_params, os.path.join(out_dir, "detector.npz"))
     ert_model.save(os.path.join(out_dir, "ert.npz"))
+
+    # face-presence head on the frozen trunk (faceless negatives), so a
+    # fresh asset build is complete for the tracked pipeline
+    from lipreading_tpu.fixtures import render_faceless_frames
+
+    rng = np.random.default_rng(seed)
+    H, W = gray.shape[1:]
+    neg = np.concatenate(
+        [grayscale(f) for i in range(6)
+         for f in render_faceless_frames(seed + 900 + i, 5)]
+    ).reshape(-1, H, W)
+    extremes = np.stack([
+        np.zeros((H, W), np.float32),
+        np.full((H, W), 255.0, np.float32),
+        np.full((H, W), 215.0, np.float32),
+        rng.normal(128, 40, (H, W)).clip(0, 255).astype(np.float32),
+    ])
+    neg = np.concatenate([neg, np.repeat(extremes, 4, axis=0)])
+    presence = train_presence_head(det_params, gray, neg, boxes, seed=seed)
+    save_presence(presence, os.path.join(out_dir, "presence.npz"))
     return det_params, ert_model, {"det_err_px": det_err, "ert_err": ert_err}
 
 

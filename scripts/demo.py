@@ -7,6 +7,9 @@ mouth ROI -> encoder -> decode (all on device), then print the transcript.
 Usage:
   python scripts/demo.py preset=bigru-ctc workdir=runs/ctc video=clip.mp4
   python scripts/demo.py preset=bigru-ctc workdir=runs/ctc fixture_seed=3
+  python scripts/demo.py workdir=none release=transformer_hybrid beam=8 \
+      lm_weight=0.4 lexicon=1
+  python scripts/demo.py workdir=none stream=16    # online/webcam mode
 """
 import os
 import sys
@@ -29,6 +32,7 @@ def main(argv):
     release = args.pop("release", "bigru_ctc")
     lm_weight = float(args.pop("lm_weight", 0.0))
     use_lexicon = args.pop("lexicon", "0") in ("1", "true")
+    stream = int(args.pop("stream", 0))   # >0: online mode, chunk size
     # auto-pair preprocessing assets with the release model's training stack:
     # a *_robust model was trained behind the robust detector/ERT — decoding
     # it through the default stack mismatches what it saw (VERDICT r1 weak #7)
@@ -76,6 +80,27 @@ def main(argv):
 
     det_np, ert_np = load_assets(variant=assets_variant)
     det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+
+    if stream:
+        # online mode: feed the clip in webcam-sized chunks through the
+        # sliding-window transcriber (streaming.py) and print growth
+        from lipreading_tpu.streaming import StreamingTranscriber
+
+        st = StreamingTranscriber(params, cfg, det, ert,
+                                  window=64, decode_every=16)
+        t0 = time.perf_counter()
+        for lo in range(0, len(frames), stream):
+            hyp = st.feed(frames[lo:lo + stream])
+            print(f"  t={lo + stream:4d}: {hyp!r}")
+        hyp = st.finish()
+        dt = time.perf_counter() - t0
+        print(f"transcript: {hyp!r}")
+        if ref is not None:
+            from lipreading_tpu.metrics import cer
+
+            print(f"reference : {ref!r}  (CER {cer(hyp, ref):.3f})")
+        print(f"{len(frames)} frames streamed in {dt:.2f}s")
+        return
 
     t0 = time.perf_counter()
     rois = preprocess_padded(det, ert, frames, cfg.preprocess)
