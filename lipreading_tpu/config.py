@@ -61,6 +61,10 @@ class ModelConfig:
     dropout: float = 0.1
     vocab_size: int = 31
     dtype: str = "bfloat16"       # activation dtype on TPU; params stay fp32
+    # Pallas flash attention for the encoder's self-attention: O(T*Dh)
+    # memory instead of materializing [B, H, T, T] scores (ops/flash_
+    # attention.py). Same math (parity test-pinned); enable for long clips.
+    flash_attention: bool = False
 
 
 @dataclass
@@ -93,6 +97,11 @@ class MeshConfig:
     model_axis: str = "model"
     data_parallel: int = -1       # -1: use all devices
     model_parallel: int = 1
+    # When True, the ``model`` mesh axis shards the encoder TIME axis (ring
+    # attention over ICI, parallel/ring.py) instead of transformer weights
+    # (tensor parallelism). Mutually exclusive uses of the same axis:
+    # sequence_parallel=True means params stay replicated over that axis.
+    sequence_parallel: bool = False
 
 
 @dataclass

@@ -47,14 +47,19 @@ class DataviewWriter:
             "fps": data_cfg.fps,
         }
 
-    def add(self, sample_id: str, roi_u8: np.ndarray, text: str) -> None:
+    def add(self, sample_id: str, roi_u8: np.ndarray, text: str,
+            frame_valid: np.ndarray | None = None) -> None:
+        """``frame_valid`` (bool [T]) marks frames whose face detection was
+        confident (tracked builds); omitted = all frames trusted."""
         fname = f"{sample_id}.npz"
-        np.savez_compressed(
-            os.path.join(self.out_dir, fname), roi_u8=roi_u8.astype(np.uint8)
-        )
-        self.entries.append(
-            {"file": fname, "text": text, "num_frames": int(roi_u8.shape[0])}
-        )
+        arrays = {"roi_u8": roi_u8.astype(np.uint8)}
+        entry = {"file": fname, "text": text,
+                 "num_frames": int(roi_u8.shape[0])}
+        if frame_valid is not None:
+            arrays["frame_valid"] = np.asarray(frame_valid, bool)
+            entry["num_valid"] = int(arrays["frame_valid"].sum())
+        np.savez_compressed(os.path.join(self.out_dir, fname), **arrays)
+        self.entries.append(entry)
 
     def finalize(self) -> None:
         with open(os.path.join(self.out_dir, "index.json"), "w") as f:
@@ -84,6 +89,13 @@ class Dataview:
         z = np.load(os.path.join(self.path, self.samples[i]["file"]))
         return z["roi_u8"]
 
+    def frame_valid(self, i: int) -> np.ndarray:
+        """[T] bool detection-confidence mask (all-True for untracked builds)."""
+        z = np.load(os.path.join(self.path, self.samples[i]["file"]))
+        if "frame_valid" in z:
+            return z["frame_valid"]
+        return np.ones((self.samples[i]["num_frames"],), bool)
+
 
 def build_fixture_dataview(
     out_dir: str,
@@ -95,6 +107,9 @@ def build_fixture_dataview(
     batch_frames: int = 256,
     variation: float = 0.0,
     assets_variant: str = "default",
+    tracked: bool = False,
+    keep_invalid: bool = False,
+    frame_transform=None,
 ) -> Dataview:
     """Render fixture clips, preprocess on device, cut cue-aligned samples.
 
@@ -102,6 +117,16 @@ def build_fixture_dataview(
     (isolates model training from landmarker quality in tests).
     ``variation``/``assets_variant`` select styled clips + the matching
     robust preprocessing weights (appearance-robust training corpora).
+
+    ``tracked=True`` runs the robust preprocessing (top-k detection +
+    presence gating + temporal tracking, ops/preprocess.py
+    preprocess_clips_tracked) and applies the reference's skip-frame
+    semantics: frames without a confident detection are DROPPED from each
+    sample (SURVEY.md §4.1 "skips no-detection frames"). With
+    ``keep_invalid=True`` they are kept in place and the per-frame
+    ``frame_valid`` mask is stored in the npz instead (mask-aware training).
+    ``frame_transform(clip_idx, frames) -> frames`` lets tests corrupt
+    specific frames (faceless cutaways) before preprocessing.
     """
     import jax.numpy as jnp
 
@@ -110,13 +135,14 @@ def build_fixture_dataview(
     from lipreading_tpu.ops.preprocess import (
         mouth_boxes_from_landmarks,
         preprocess_padded,
+        preprocess_padded_tracked,
     )
 
     data_cfg = data_cfg or DataConfig()
     pre_cfg = pre_cfg or PreprocessConfig()
     writer = DataviewWriter(out_dir, data_cfg, pre_cfg)
 
-    det = ert = None
+    det = ert = presence = None
     if not use_ground_truth_landmarks:
         from lipreading_tpu.ops.detector import params_to_jax
         from lipreading_tpu.ops.ert import model_to_jax
@@ -124,14 +150,32 @@ def build_fixture_dataview(
 
         det_np, ert_np = load_assets(variant=assets_variant)
         det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+        if tracked:
+            import jax
+
+            from lipreading_tpu.preproc_training import load_presence
+
+            presence_np = load_presence(variant=assets_variant)
+            if presence_np is None:
+                raise FileNotFoundError(
+                    f"presence head missing for variant {assets_variant!r}"
+                )
+            presence = jax.tree.map(jnp.asarray, presence_np)
+    if tracked and use_ground_truth_landmarks:
+        raise ValueError("tracked builds need the real detector stack")
 
     for c in range(n_clips):
         clip = make_clip(seed * 1_000_000 + c, data_cfg, variation=variation)
-        H, W = clip.frames.shape[1:3]
+        if frame_transform is not None:
+            clip_frames = frame_transform(c, clip.frames)
+        else:
+            clip_frames = clip.frames
+        H, W = clip_frames.shape[1:3]
+        valid = None
         if use_ground_truth_landmarks:
             rois = []
             for lo in range(0, clip.num_frames, batch_frames):
-                chunk = clip.frames[lo:lo + batch_frames]
+                chunk = clip_frames[lo:lo + batch_frames]
                 gray = roi_ops.grayscale(jnp.asarray(chunk))
                 mb = mouth_boxes_from_landmarks(
                     jnp.asarray(clip.landmarks[lo:lo + batch_frames]),
@@ -143,18 +187,38 @@ def build_fixture_dataview(
                 )
                 rois.append(np.asarray(r))
             roi_norm = np.concatenate(rois, axis=0)
+        elif tracked:
+            roi_norm, valid = preprocess_padded_tracked(
+                det, presence, ert, clip_frames, pre_cfg
+            )
         else:
             # padded path: bounds XLA compiles to one per length bucket
-            roi_norm = preprocess_padded(det, ert, clip.frames, pre_cfg)
+            roi_norm = preprocess_padded(det, ert, clip_frames, pre_cfg)
         roi_u8 = roi_to_u8(roi_norm, pre_cfg)
+
+        def cut(arr, first, last):
+            """Apply skip-frame semantics within one sample's span."""
+            if valid is None:
+                return arr[first:last], None
+            v = valid[first:last]
+            if keep_invalid:
+                return arr[first:last], v
+            return arr[first:last][v], None
 
         cues = parse_vtt(clip.vtt)
         for j, (first, last, text) in enumerate(
             align_cues_to_frames(cues, clip.fps, clip.num_frames)
         ):
-            writer.add(f"clip{c:05d}_cue{j:02d}", roi_u8[first:last], text)
+            frames_j, valid_j = cut(roi_u8, first, last)
+            if frames_j.shape[0] == 0:
+                continue                      # every frame lost its face
+            writer.add(f"clip{c:05d}_cue{j:02d}", frames_j, text,
+                       frame_valid=valid_j)
         # whole-clip sample too (longer-context supervision)
-        writer.add(f"clip{c:05d}_full", roi_u8, clip.text)
+        frames_full, valid_full = cut(roi_u8, 0, clip.num_frames)
+        if frames_full.shape[0]:
+            writer.add(f"clip{c:05d}_full", frames_full, clip.text,
+                       frame_valid=valid_full)
 
     writer.finalize()
     return Dataview(out_dir)

@@ -55,10 +55,16 @@ def init_model(key, cfg: Config):
     return params
 
 
-def encode(params, cfg: Config, rois, frame_lengths, dtype=None, rng=None):
+def encode(params, cfg: Config, rois, frame_lengths, dtype=None, rng=None,
+           mesh=None):
     """[B, T, R, R] + lengths -> [B, T, D] encoder states.
 
     ``rng`` enables dropout (training); None = deterministic (eval).
+    ``mesh`` + cfg.mesh.sequence_parallel routes the transformer encoder
+    through the ring-attention time-sharded path (parallel/ring.py): the
+    encoder's time axis shards over the ``model`` mesh axis and k/v blocks
+    rotate over ICI — exact attention, test-pinned equal to the unsharded
+    encoder in eval mode.
     """
     dtype = dtype or _act_dtype(cfg)
     rate = cfg.model.dropout
@@ -76,12 +82,28 @@ def encode(params, cfg: Config, rois, frame_lengths, dtype=None, rng=None):
     else:
         feats = frontend_apply(params["frontend"], rois, dtype,
                                dropout_rng=k1, rate=rate)
+    sp = (mesh is not None and cfg.mesh.sequence_parallel
+          and mesh.shape.get(cfg.mesh.model_axis, 1) > 1)
     if cfg.encoder == "bigru":
+        if sp:
+            raise ValueError(
+                "sequence_parallel requires the transformer encoder "
+                "(the bi-GRU is sequential over time)"
+            )
         return bigru(params["encoder"], feats, frame_lengths, dtype=dtype,
                      dropout_rng=k2, rate=rate)
+    if sp:
+        from lipreading_tpu.parallel.ring import ring_encoder_apply
+
+        return ring_encoder_apply(
+            params["encoder"], feats, frame_lengths, cfg.model.tf_heads,
+            mesh, axis=cfg.mesh.model_axis, dtype=dtype,
+            data_axis=cfg.mesh.data_axis, dropout_rng=k2, rate=rate,
+        )
     return tf.encoder_apply(params["encoder"], feats, frame_lengths,
                             cfg.model.tf_heads, dtype=dtype,
-                            dropout_rng=k2, rate=rate)
+                            dropout_rng=k2, rate=rate,
+                            flash=cfg.model.flash_attention)
 
 
 def ctc_logits(params, enc, dtype=None):
@@ -114,7 +136,8 @@ def cross_entropy_loss(logits, targets_out, target_lengths, pad_id=0):
     return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
-def compute_loss(params, cfg: Config, batch, train: bool = True, rng=None):
+def compute_loss(params, cfg: Config, batch, train: bool = True, rng=None,
+                 mesh=None):
     """Full hybrid loss over a batch dict:
 
         rois           [B, T, R, R]  normalized float
@@ -130,7 +153,8 @@ def compute_loss(params, cfg: Config, batch, train: bool = True, rng=None):
     k_enc = k_dec = None
     if rng is not None and train:
         k_enc, k_dec = jax.random.split(rng)
-    enc = encode(params, cfg, batch["rois"], batch["frame_lengths"], rng=k_enc)
+    enc = encode(params, cfg, batch["rois"], batch["frame_lengths"],
+                 rng=k_enc, mesh=mesh)
     metrics = {}
     loss = 0.0
     if cfg.decoder in ("ctc", "hybrid"):

@@ -56,6 +56,21 @@ def mha(p, q_in, kv_in, mask, heads: int, dtype=None):
     return nn.dense(p["o"], out, dtype)
 
 
+def mha_flash(p, x, lengths, heads: int, dtype=None):
+    """Encoder self-attention through the Pallas flash kernel: identical
+    projections to mha(), the softmax/weighted-sum core streamed blockwise
+    (ops/flash_attention.py) so [B, H, T, T] never materializes."""
+    from lipreading_tpu.ops.flash_attention import flash_attention
+
+    B, T, D = x.shape
+    Dh = D // heads
+    q = nn.dense(p["q"], x, dtype).reshape(B, T, heads, Dh)
+    k = nn.dense(p["k"], x, dtype).reshape(B, T, heads, Dh)
+    v = nn.dense(p["v"], x, dtype).reshape(B, T, heads, Dh)
+    out = flash_attention(q, k, v, lengths).reshape(B, T, D)
+    return nn.dense(p["o"], out, dtype)
+
+
 def mlp_init(key, dim: int, hidden: int):
     k1, k2 = jax.random.split(key)
     return {"in": nn.dense_init(k1, dim, hidden), "out": nn.dense_init(k2, hidden, dim)}
@@ -98,8 +113,11 @@ def encoder_init(key, cfg: ModelConfig, in_dim: int):
 
 
 def encoder_apply(p, x, lengths, heads: int, dtype=None,
-                  dropout_rng=None, rate=0.0):
-    """[B, T, in] -> [B, T, tf_dim]; self-attention masked to valid frames."""
+                  dropout_rng=None, rate=0.0, flash: bool = False):
+    """[B, T, in] -> [B, T, tf_dim]; self-attention masked to valid frames.
+
+    ``flash=True`` streams the attention core through the Pallas flash
+    kernel (cfg.model.flash_attention) — same math, O(T·Dh) memory."""
     B, T, _ = x.shape
     det = dropout_rng is None
 
@@ -114,7 +132,9 @@ def encoder_apply(p, x, lengths, heads: int, dtype=None,
     mask = valid[:, None, None, :]                         # [B, 1, 1(Tq), Tk]
     for i, lp in enumerate(p["layers"]):
         hn = nn.layernorm(lp["ln1"], h)
-        h = h + drop(keys[2 * i], mha(lp["attn"], hn, hn, mask, heads, dtype))
+        attn = (mha_flash(lp["attn"], hn, lengths, heads, dtype) if flash
+                else mha(lp["attn"], hn, hn, mask, heads, dtype))
+        h = h + drop(keys[2 * i], attn)
         h = h + drop(keys[2 * i + 1],
                      mlp(lp["mlp"], nn.layernorm(lp["ln2"], h), dtype))
     return nn.layernorm(p["ln_out"], h)

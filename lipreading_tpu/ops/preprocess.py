@@ -174,6 +174,47 @@ def preprocess_clips_tracked(
     return rois, valid
 
 
+_PADDED_TRACKED_CACHE: dict = {}
+
+
+def preprocess_padded_tracked(
+    det_params,
+    presence,
+    ert_model,
+    frames,
+    cfg: PreprocessConfig | None = None,
+    bucket: int = 64,
+    threshold: float = 0.5,
+    topk: int = 4,
+):
+    """Tracked preprocessing of one video's [N, H, W, 3] frames with N padded
+    to a ``bucket`` multiple (one XLA compile per length bucket, like
+    preprocess_padded). Returns (roi [N, R, R] f32 numpy, valid [N] bool).
+    """
+    import numpy as np
+
+    cfg = cfg or PreprocessConfig()
+    frames = np.asarray(frames)
+    n = frames.shape[0]
+    padded = -(-n // bucket) * bucket
+    if padded != n:
+        frames = np.concatenate(
+            [frames, np.repeat(frames[-1:], padded - n, axis=0)]
+        )
+    key = (frames.shape, cfg.roi_size, cfg.roi_margin, cfg.normalize_mean,
+           cfg.normalize_std, threshold, topk)
+    if key not in _PADDED_TRACKED_CACHE:
+        _PADDED_TRACKED_CACHE[key] = jax.jit(
+            lambda d, p, e, f: preprocess_clips_tracked(
+                d, p, e, f[None], cfg, threshold=threshold, topk=topk
+            )
+        )
+    rois, valid = _PADDED_TRACKED_CACHE[key](
+        det_params, presence, ert_model, jnp.asarray(frames)
+    )
+    return np.asarray(rois[0][:n]), np.asarray(valid[0][:n])
+
+
 def preprocess_clips(det_params, ert_model, clips: jnp.ndarray,
                      cfg: PreprocessConfig | None = None) -> jnp.ndarray:
     """[B, T, H, W, 3] -> [B, T, R, R]: flatten time into batch, one program."""

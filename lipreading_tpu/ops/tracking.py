@@ -76,3 +76,26 @@ def track_boxes(boxes: jnp.ndarray, conf: jnp.ndarray, threshold: float):
     )
     tracked = jnp.moveaxis(out_rev[::-1], 0, 1)      # [B, T, 3]
     return tracked, jnp.moveaxis(valid, 0, 1)
+
+
+def compact_valid_frames(x: jnp.ndarray, valid: jnp.ndarray,
+                         lengths: jnp.ndarray):
+    """Stable-partition each sample's valid frames to the front — the
+    reference's skip-frame semantics ("no detection -> frame dropped",
+    SURVEY.md §4.1) under static shapes: instead of a ragged delete, invalid
+    frames move behind the new length and downstream masking ignores them.
+
+    x: [B, T, ...] per-frame data; valid: [B, T] bool; lengths: [B] valid
+    frame counts (frames at or beyond a sample's length are dropped too).
+    Returns (x_compacted, new_lengths). Jit-compatible (one argsort).
+    """
+    B, T = valid.shape
+    pos = jnp.arange(T)[None, :]
+    keep = valid & (pos < lengths[:, None])
+    # stable argsort on a 0/1 key: kept frames first, original order preserved
+    order = jnp.argsort(jnp.where(keep, 0, 1), axis=1, stable=True)
+    idx = order.reshape(B, T, *([1] * (x.ndim - 2)))
+    return (
+        jnp.take_along_axis(x, idx, axis=1),
+        keep.sum(axis=1).astype(lengths.dtype),
+    )

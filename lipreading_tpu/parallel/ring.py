@@ -29,26 +29,31 @@ from lipreading_tpu.models import nn
 NEG_INF = -1e30
 
 
-def _ring_attend(q, k, v, kv_valid, axis_name: str):
+def _ring_attend(q, k, v, kv_valid, axis_name: str, vma=None):
     """Exact attention with k/v blocks rotating around the ring.
 
     q, k, v: [B, Tl, H, Dh] local blocks; kv_valid: [B, Tl] key validity.
     Returns [B, Tl, H, Dh]. Online-softmax accumulation: running max m,
     denominator l, numerator acc are corrected as each incoming block
     raises the max — bitwise-stable regardless of ring order.
+
+    ``vma``: the mesh axes q/k/v are device-varying over (just the ring axis
+    standalone; (data, ring) when the batch dim is sharded too) — the scan
+    carry's accumulators must be declared varying over the same set.
     """
     B, Tl, H, Dh = q.shape
     n = jax.lax.psum(1, axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
     scale = 1.0 / math.sqrt(Dh)
+    vma = (axis_name,) if vma is None else tuple(vma)
 
     # initial accumulators are device-varying (each shard accumulates its
     # own), which shard_map's vma typing requires us to declare explicitly
     m0 = jax.lax.pcast(jnp.full((B, H, Tl), NEG_INF, jnp.float32),
-                      axis_name, to='varying')
-    l0 = jax.lax.pcast(jnp.zeros((B, H, Tl), jnp.float32), axis_name,
+                      vma, to='varying')
+    l0 = jax.lax.pcast(jnp.zeros((B, H, Tl), jnp.float32), vma,
                       to='varying')
-    acc0 = jax.lax.pcast(jnp.zeros((B, H, Tl, Dh), jnp.float32), axis_name,
+    acc0 = jax.lax.pcast(jnp.zeros((B, H, Tl, Dh), jnp.float32), vma,
                         to='varying')
 
     def step(carry, _):
@@ -75,11 +80,14 @@ def _ring_attend(q, k, v, kv_valid, axis_name: str):
     return jnp.moveaxis(out, 1, 2).astype(q.dtype)           # [B, Tl, H, Dh]
 
 
-def _encoder_block_local(p, x_blk, lengths, heads: int, t_local: int,
-                         axis_name: str, dtype=None):
+def _encoder_block_local(p, x_blk, lengths, rng, heads: int, t_local: int,
+                         axis_name: str, dtype=None, rate: float = 0.0,
+                         vma=None):
     """Per-shard encoder body (runs under shard_map).
 
     x_blk: [B, Tl, in] local time block; lengths: [B] global lengths.
+    rng: per-shard dropout key (already folded with the shard index) or None
+    for deterministic eval.
     """
     B, Tl, _ = x_blk.shape
     idx = jax.lax.axis_index(axis_name)
@@ -91,7 +99,14 @@ def _encoder_block_local(p, x_blk, lengths, heads: int, t_local: int,
     gpos = start + jnp.arange(Tl)
     kv_valid = gpos[None, :] < lengths[:, None]              # [B, Tl]
 
-    for lp in p["layers"]:
+    det = rng is None
+    keys = (jax.random.split(rng, 2 * len(p["layers"]))
+            if not det else [None] * (2 * len(p["layers"])))
+
+    def drop(k, v):
+        return nn.dropout(k, v, rate, deterministic=det)
+
+    for i, lp in enumerate(p["layers"]):
         hn = nn.layernorm(lp["ln1"], h)
         ap = lp["attn"]
         D = hn.shape[-1]
@@ -99,9 +114,12 @@ def _encoder_block_local(p, x_blk, lengths, heads: int, t_local: int,
         q = nn.dense(ap["q"], hn, dtype).reshape(B, Tl, heads, Dh)
         k = nn.dense(ap["k"], hn, dtype).reshape(B, Tl, heads, Dh)
         v = nn.dense(ap["v"], hn, dtype).reshape(B, Tl, heads, Dh)
-        attn = _ring_attend(q, k, v, kv_valid, axis_name)
-        h = h + nn.dense(ap["o"], attn.reshape(B, Tl, D), dtype)
-        h = h + _mlp(lp["mlp"], nn.layernorm(lp["ln2"], h), dtype)
+        attn = _ring_attend(q, k, v, kv_valid, axis_name,
+                            vma=vma or (axis_name,))
+        h = h + drop(keys[2 * i],
+                     nn.dense(ap["o"], attn.reshape(B, Tl, D), dtype))
+        h = h + drop(keys[2 * i + 1],
+                     _mlp(lp["mlp"], nn.layernorm(lp["ln2"], h), dtype))
     return nn.layernorm(p["ln_out"], h)
 
 
@@ -110,23 +128,51 @@ def _mlp(p, x, dtype=None):
 
 
 def ring_encoder_apply(params, x, lengths, heads: int, mesh: Mesh,
-                       axis: str = "model", dtype=None):
+                       axis: str = "model", dtype=None,
+                       data_axis: str | None = "data",
+                       dropout_rng=None, rate: float = 0.0):
     """Sequence-parallel transformer encoder: [B, T, in] with T sharded over
     ``axis`` -> [B, T, tf_dim] (same sharding). Exact equivalence with
     models.transformer.encoder_apply (eval mode) is test-pinned.
 
     T must divide evenly by the axis size (pad T to a bucket first — the
-    pipeline's bucketed shapes already guarantee this).
+    pipeline's bucketed shapes already guarantee this). When the mesh also
+    carries ``data_axis``, the batch dim shards over it, so DP x SP composes
+    in one shard_map (the training layout under cfg.mesh.sequence_parallel).
+
+    Training dropout: per-shard keys are derived by folding the shard index
+    into ``dropout_rng`` — statistically independent masks per time block,
+    NOT bit-identical to the unsharded encoder's masks (eval is exact).
     """
     n = mesh.shape[axis]
     B, T, _ = x.shape
     assert T % n == 0, f"T={T} not divisible by {axis} size {n}"
+    # shard the batch over the data axis too (DP x SP) when it divides;
+    # otherwise the batch replicates over it (standalone/odd-batch use)
+    da = data_axis if (data_axis and mesh.shape.get(data_axis, 1) > 1
+                       and B % mesh.shape[data_axis] == 0) else None
 
-    fn = partial(_encoder_block_local, heads=heads, t_local=T // n,
-                 axis_name=axis, dtype=dtype)
+    train = dropout_rng is not None and rate > 0.0
+
+    def fn(p, xb, ln, *rng_args):
+        rng = None
+        if train:
+            rng = jax.random.fold_in(rng_args[0], jax.lax.axis_index(axis))
+            if da is not None:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(da))
+        return _encoder_block_local(p, xb, ln, rng, heads=heads,
+                                    t_local=T // n, axis_name=axis,
+                                    dtype=dtype, rate=rate,
+                                    vma=(da, axis) if da else (axis,))
+
+    in_specs = [P(), P(da, axis, None), P(da)]
+    args = [params, x, lengths]
+    if train:
+        in_specs.append(P())
+        args.append(dropout_rng)
     shmap = jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P(), P(None, axis, None), P()),
-        out_specs=P(None, axis, None),
+        in_specs=tuple(in_specs),
+        out_specs=P(da, axis, None),
     )
-    return shmap(params, x, lengths)
+    return shmap(*args)

@@ -76,7 +76,9 @@ class Trainer:
             jax.random.PRNGKey(cfg.train.seed), 0x0D0
         )
         params = init_model(key, cfg)
-        if cfg.mesh.model_parallel > 1:
+        if cfg.mesh.sequence_parallel and cfg.encoder != "transformer":
+            raise ValueError("mesh.sequence_parallel needs encoder='transformer'")
+        if cfg.mesh.model_parallel > 1 and not cfg.mesh.sequence_parallel:
             # tensor parallelism: annotate transformer params over the model
             # axis; the SPMD partitioner emits the collectives
             self._param_sharding = model_param_shardings(params, self.mesh)
@@ -130,9 +132,14 @@ class Trainer:
         bsh = batch_sharding(self.mesh)
         rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
 
+        # sequence parallelism (ring attention) needs the concrete mesh so
+        # encode() can shard_map the encoder's time axis over ``model``
+        mesh = self.mesh if cfg.mesh.sequence_parallel else None
+
         def step_fn(params, opt_state, batch, rng):
             def loss_fn(p):
-                return compute_loss(p, cfg, batch, train=True, rng=rng)
+                return compute_loss(p, cfg, batch, train=True, rng=rng,
+                                    mesh=mesh)
 
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -277,28 +284,70 @@ class FusedTrainer(Trainer):
     """
 
     def __init__(self, cfg: Config, workdir: str, det_params, ert_model,
-                 mesh=None, seed=None):
+                 mesh=None, seed=None, presence=None, tracked: bool = False):
+        """``tracked=True`` (needs ``presence``, the face-presence head from
+        preproc_training.load_presence) switches the fused step to the robust
+        preprocessing: top-k detection + presence gating + temporal tracking,
+        then on-device compaction of confident frames (the reference's
+        skip-frame semantics — ops/tracking.compact_valid_frames) before the
+        model. Raw video -> robust ROIs -> loss stays ONE jit program."""
+        if tracked and presence is None:
+            raise ValueError("tracked=True requires the presence head")
         self._det = det_params
         self._ert = ert_model
+        self._tracked = tracked
         super().__init__(cfg, workdir, mesh=mesh, seed=seed)
         self._det = replicate(jax.tree.map(jnp.asarray, det_params), self.mesh)
         self._ert = replicate(jax.tree.map(jnp.asarray, ert_model), self.mesh)
+        # {} (not None) when absent: an empty pytree keeps the jitted step's
+        # argument structure/sharding specs uniform across both modes
+        self._presence = replicate(
+            jax.tree.map(jnp.asarray, presence if presence is not None else {}),
+            self.mesh,
+        )
         self._jit_step = self._build_fused_step()
 
     def _build_fused_step(self):
-        from lipreading_tpu.ops.preprocess import preprocess_clips
+        from lipreading_tpu.ops.preprocess import (
+            preprocess_clips,
+            preprocess_clips_tracked,
+        )
+        from lipreading_tpu.ops.tracking import compact_valid_frames
 
         cfg, tx = self.cfg, self.tx
+        tracked = self._tracked
         bsh = batch_sharding(self.mesh)
         rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
 
-        def step_fn(params, opt_state, det, ert, batch, rng):
-            def loss_fn(p):
+        mesh = self.mesh if cfg.mesh.sequence_parallel else None
+
+        def make_model_batch(det, ert, presence, batch):
+            if tracked:
+                rois, valid = preprocess_clips_tracked(
+                    det, presence, ert, batch["frames"], cfg.preprocess
+                )
+                rois, new_len = compact_valid_frames(
+                    rois, valid, batch["frame_lengths"]
+                )
+                # keep the CTC alignment feasible on the shrunk lengths
+                # (same (t-1)//2 cap the host batcher applies): supervise a
+                # label prefix rather than saturating the NLL
+                ctc_l = jnp.minimum(batch["ctc_lengths"],
+                                    jnp.maximum((new_len - 1) // 2, 1))
+                mb = dict(batch, rois=rois, frame_lengths=new_len,
+                          ctc_lengths=ctc_l)
+            else:
                 rois = preprocess_clips(det, ert, batch["frames"],
                                         cfg.preprocess)
-                model_batch = dict(batch, rois=rois)
-                del model_batch["frames"]
-                return compute_loss(p, cfg, model_batch, train=True, rng=rng)
+                mb = dict(batch, rois=rois)
+            del mb["frames"]
+            return mb
+
+        def step_fn(params, opt_state, det, ert, presence, batch, rng):
+            def loss_fn(p):
+                model_batch = make_model_batch(det, ert, presence, batch)
+                return compute_loss(p, cfg, model_batch, train=True, rng=rng,
+                                    mesh=mesh)
 
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -314,7 +363,7 @@ class FusedTrainer(Trainer):
         }
         return jax.jit(
             step_fn,
-            in_shardings=(rep, rep, rep, rep, batch_shardings, rep),
+            in_shardings=(rep, rep, rep, rep, rep, batch_shardings, rep),
             out_shardings=(rep, rep, rep),
             donate_argnums=(0, 1),
         )
@@ -325,7 +374,8 @@ class FusedTrainer(Trainer):
         dev = video_batch_to_device(batch, batch_sharding(self.mesh))
         rng = jax.random.fold_in(self._dropout_key, self.step)
         self.params, self.opt_state, metrics = self._jit_step(
-            self.params, self.opt_state, self._det, self._ert, dev, rng
+            self.params, self.opt_state, self._det, self._ert,
+            self._presence, dev, rng
         )
         self.step += 1
         return metrics

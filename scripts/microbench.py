@@ -83,6 +83,33 @@ def main(argv):
         ("ctc_decode_pallas",
          jax.jit(lambda x: ctc_greedy_ids_pallas(x, in_lens)), (logits,), B),
     ]
+
+    # encoder self-attention: XLA einsum (materializes [B,H,T,T]) vs Pallas
+    # flash (streamed blocks) — the gap widens with T (long clips)
+    from lipreading_tpu.ops.flash_attention import (
+        _reference_attend,
+        flash_attention,
+    )
+
+    for Ta in (128, 512, 1024):
+        Ba, H, Dh = 8, 4, 64
+        qkv = [
+            jnp.asarray(rng.normal(0, 1, (Ba, Ta, H, Dh)), jnp.bfloat16)
+            for _ in range(3)
+        ]
+        lens = jnp.asarray(
+            rng.integers(Ta // 2, Ta + 1, (Ba,)).astype(np.int32)
+        )
+        rows.append((
+            f"attn_xla_T{Ta}",
+            jax.jit(lambda q, k, v, l: _reference_attend(q, k, v, l)),
+            (*qkv, lens), Ba * Ta,
+        ))
+        rows.append((
+            f"attn_flash_T{Ta}",
+            jax.jit(lambda q, k, v, l: flash_attention(q, k, v, l)),
+            (*qkv, lens), Ba * Ta,
+        ))
     print(f"{'op':18s} {'ms':>9s} {'items/s':>12s}")
     for name, fn, fargs, items in rows:
         t = Timer(fn).measure(*fargs, reps=reps)

@@ -1,0 +1,124 @@
+"""Pallas flash attention == einsum attention (values AND gradients), and the
+encoder flag routes through it unchanged. CPU runs in interpret mode; the
+same kernel compiles for TPU (bench in docs/KERNELS.md)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lipreading_tpu.config import preset
+from lipreading_tpu.models import transformer as tf
+from lipreading_tpu.models.lipreader import compute_loss, encode, init_model
+from lipreading_tpu.ops.flash_attention import (
+    _reference_attend,
+    flash_attention,
+)
+
+
+def _qkv(B=2, T=40, H=2, Dh=16, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.normal(0, 1, (B, T, H, Dh)), jnp.float32)
+    return mk(), mk(), mk()
+
+
+@pytest.mark.parametrize("lengths", [[40, 40], [40, 23], [17, 1]])
+def test_flash_matches_reference(lengths):
+    q, k, v = _qkv()
+    ln = jnp.asarray(lengths, jnp.int32)
+    want = _reference_attend(q, k, v, ln)
+    got = flash_attention(q, k, v, ln, block_q=16, block_k=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_odd_shapes_and_default_blocks():
+    """T not a multiple of any block size; Dh below the 128-lane tile."""
+    q, k, v = _qkv(B=1, T=13, H=3, Dh=8, seed=3)
+    ln = jnp.asarray([11], jnp.int32)
+    want = _reference_attend(q, k, v, ln)
+    got = flash_attention(q, k, v, ln)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_gradients_match():
+    q, k, v = _qkv(T=24)
+    ln = jnp.asarray([24, 15], jnp.int32)
+    w = jnp.asarray(np.random.default_rng(9).normal(0, 1, q.shape), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, ln, block_q=8, block_k=8) * w).sum()
+
+    def loss_ref(q, k, v):
+        return (_reference_attend(q, k, v, ln) * w).sum()
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def _enc_setup(seed=0):
+    cfg = preset("transformer-attn")
+    cfg.model.tf_layers = 2
+    cfg.model.tf_dim = 32
+    cfg.model.tf_heads = 4
+    cfg.model.tf_mlp = 64
+    cfg.model.frontend_dim = 16
+    cfg.model.dtype = "float32"
+    params = tf.encoder_init(jax.random.PRNGKey(seed), cfg.model, 16)
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 16)), jnp.float32)
+    return cfg, params, x
+
+
+def test_encoder_flash_flag_matches():
+    cfg, params, x = _enc_setup()
+    lengths = jnp.asarray([32, 21], jnp.int32)
+    want = tf.encoder_apply(params, x, lengths, cfg.model.tf_heads)
+    got = tf.encoder_apply(params, x, lengths, cfg.model.tf_heads, flash=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_end_to_end_flash_training_step():
+    """compute_loss under jit with cfg.model.flash_attention: value + grads
+    finite and equal to the einsum encoder."""
+    cfg = preset("transformer-attn")
+    cfg.model.frontend_channels = (4, 8, 12)
+    cfg.model.frontend_dim = 32
+    cfg.model.tf_layers = 1
+    cfg.model.tf_dec_layers = 1
+    cfg.model.tf_dim = 32
+    cfg.model.tf_heads = 2
+    cfg.model.tf_mlp = 64
+    cfg.model.dtype = "float32"
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, T = 2, 16
+    batch = {
+        "rois": jnp.asarray(rng.normal(0, 1, (B, T, 96, 96)), jnp.float32),
+        "frame_lengths": jnp.asarray([T, T - 5], jnp.int32),
+        "targets": jnp.asarray(rng.integers(3, 30, (B, 8)), jnp.int32),
+        "target_lengths": jnp.asarray([6, 6], jnp.int32),
+        "ctc_labels": jnp.asarray(rng.integers(3, 30, (B, 6)), jnp.int32),
+        "ctc_lengths": jnp.asarray([4, 4], jnp.int32),
+    }
+
+    def loss_of(flag):
+        cfg.model.flash_attention = flag
+        l, _ = jax.jit(
+            lambda p, b: compute_loss(p, cfg, b, train=False)
+        )(params, batch)
+        return float(l)
+
+    base, flash = loss_of(False), loss_of(True)
+    assert abs(base - flash) < 1e-4, (base, flash)
+
+    cfg.model.flash_attention = True
+    g = jax.grad(lambda p: compute_loss(p, cfg, batch, train=False)[0])(params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
