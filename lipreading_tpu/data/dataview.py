@@ -117,6 +117,10 @@ def build_fixture_dataview(
     (isolates model training from landmarker quality in tests).
     ``variation``/``assets_variant`` select styled clips + the matching
     robust preprocessing weights (appearance-robust training corpora).
+    ``variation`` may be a float (every clip) or a (lo, hi) tuple — each
+    clip then draws its own level uniformly from [lo, hi) (deterministic in
+    the clip index), mixing canonical and styled appearances in ONE corpus
+    so a single model covers both.
 
     ``tracked=True`` runs the robust preprocessing (top-k detection +
     presence gating + temporal tracking, ops/preprocess.py
@@ -165,7 +169,15 @@ def build_fixture_dataview(
         raise ValueError("tracked builds need the real detector stack")
 
     for c in range(n_clips):
-        clip = make_clip(seed * 1_000_000 + c, data_cfg, variation=variation)
+        if isinstance(variation, (tuple, list)):
+            lo, hi = variation
+            u = np.random.default_rng(
+                np.random.SeedSequence([0x7A12, seed, c])
+            ).random()
+            var_c = float(lo + (hi - lo) * u)
+        else:
+            var_c = float(variation)
+        clip = make_clip(seed * 1_000_000 + c, data_cfg, variation=var_c)
         if frame_transform is not None:
             clip_frames = frame_transform(c, clip.frames)
         else:

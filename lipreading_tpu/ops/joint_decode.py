@@ -10,10 +10,12 @@ expansion with lambda * ctc_prefix + (1 - lambda) * attention combines both.
 
 TPU shape: everything runs in ONE jitted lax.scan like ops/decode.beam_search,
 with extra per-beam CTC prefix state (r_n/r_b forward arrays over the T
-frames). The per-step CTC prefix scores for ALL vocabulary extensions are
-computed with two log-semiring associative scans over T — O(T log T) depth,
-fully vectorized over (beam x vocab) — instead of the reference-style
-per-hypothesis Python loops.
+frames). Per step, the prefix scores psi for ALL vocabulary extensions are
+scan-free (one masked logsumexp over the emission array); only the top-k
+SELECTED tokens get their successor lattices rebuilt, with two log-semiring
+associative scans over [T, batch*beam] — O(T log T) depth, V-fold less scan
+work than scoring-then-scanning every candidate, and no reference-style
+per-hypothesis Python loops anywhere.
 
 Math (log domain; g = current prefix, h = g + c, c != blank):
     phi_t(g, c)  = logaddexp(r_b_t(g), [c != last(g)] r_n_t(g))
@@ -77,13 +79,17 @@ def mask_ctc_logp(logits: jnp.ndarray, lengths: jnp.ndarray,
     return jnp.where(valid, lp, pad_row[None, None, :])
 
 
-def ctc_extension_scores(state, lp, blank: int):
-    """Scores and updated lattices for ALL vocab extensions of each prefix.
+def ctc_candidate_scores(state, lp, blank: int):
+    """Prefix scores for ALL vocab extensions of each prefix — scan-free.
 
     state: dict from init_ctc_prefix_state, leaves [N, ...]; lp: [N, T, V].
-    Returns (psi_ext [N, V], full_logp [N], r_n_ext [N, V, T], r_b_ext
-    [N, V, T]): prefix scores per candidate, the full-sequence probability of
-    the current prefix (the eos score), and the successor lattice arrays.
+    Returns (psi_ext [N, V], full_logp [N], emit [N, T, V]): prefix scores
+    per candidate, the full-sequence probability of the current prefix (the
+    eos score), and the emission array — enough to rebuild the successor
+    lattice of WHICHEVER candidate the beam later selects
+    (ctc_chosen_lattice). Computing the lattices only for selected tokens
+    (not all V) shrinks the per-step associative scans by a factor of V —
+    the dominant cost of the joint decode.
     """
     N, T, V = lp.shape
     r_n, r_b = state["r_n"], state["r_b"]
@@ -103,24 +109,29 @@ def ctc_extension_scores(state, lp, blank: int):
 
     emit = phi_prev + lp                                     # [N, T, V]
     psi_ext = jax.scipy.special.logsumexp(emit, axis=1)      # [N, V]
-
-    # successor lattices for every candidate c (gathered after top-k):
-    # r_n recurrence over t (axis 0 for the scan)
-    a_n = jnp.moveaxis(lp, 1, 0)                             # [T, N, V]
-    b_n = jnp.moveaxis(emit, 1, 0)
-    r_n_ext = jnp.moveaxis(_semiring_scan(a_n, b_n), 0, 1)   # [N, T, V]
-    # r_b recurrence consumes r_n_ext_{t-1}
-    lpb = lp[:, :, blank][:, :, None]                        # [N, T, 1]
-    r_n_prev = jnp.concatenate(
-        [jnp.full((N, 1, V), NEG_INF), r_n_ext[:, :-1, :]], axis=1
-    )
-    a_b = jnp.moveaxis(jnp.broadcast_to(lpb, (N, T, V)), 1, 0)
-    b_b = jnp.moveaxis(r_n_prev + lpb, 1, 0)
-    r_b_ext = jnp.moveaxis(_semiring_scan(a_b, b_b), 0, 1)   # [N, T, V]
-
     full_logp = jnp.logaddexp(r_n[:, -1], r_b[:, -1])        # [N]
-    return psi_ext, full_logp, jnp.moveaxis(r_n_ext, 1, 2), \
-        jnp.moveaxis(r_b_ext, 1, 2)
+    return psi_ext, full_logp, emit
+
+
+def ctc_chosen_lattice(emit_c, lp_c, lp_blank):
+    """Successor lattice for ONE chosen extension per beam.
+
+    emit_c / lp_c / lp_blank: [N, T] — the emit row and log-probs of the
+    selected token c and of blank. Returns (r_n [N, T], r_b [N, T]) via the
+    same log-semiring associative scans, V-fold smaller than scanning every
+    candidate.
+    """
+    N, T = emit_c.shape
+    a_n = jnp.moveaxis(lp_c, 1, 0)                           # [T, N]
+    b_n = jnp.moveaxis(emit_c, 1, 0)
+    r_n = jnp.moveaxis(_semiring_scan(a_n, b_n), 0, 1)       # [N, T]
+    r_n_prev = jnp.concatenate(
+        [jnp.full((N, 1), NEG_INF), r_n[:, :-1]], axis=1
+    )
+    a_b = jnp.moveaxis(lp_blank, 1, 0)
+    b_b = jnp.moveaxis(r_n_prev + lp_blank, 1, 0)
+    r_b = jnp.moveaxis(_semiring_scan(a_b, b_b), 0, 1)       # [N, T]
+    return r_n, r_b
 
 
 def ctc_prefix_beam_device(logits: jnp.ndarray, lengths: jnp.ndarray,
@@ -208,9 +219,7 @@ def joint_beam_search(
         att, att_logits = att_step_fn(att, toks.reshape(BW))
         att_lp = jax.nn.log_softmax(att_logits.astype(jnp.float32), axis=-1)
 
-        psi_ext, full_lp, r_n_ext, r_b_ext = ctc_extension_scores(
-            ctc, lp, blank
-        )
+        psi_ext, full_lp, emit = ctc_candidate_scores(ctc, lp, blank)
         delta = psi_ext - ctc["psi"][:, None]                # [BW, V]
         delta = delta.at[:, eos].set(full_lp - ctc["psi"])
         # attention never legally emits blank/sos; CTC never emits them either
@@ -242,19 +251,26 @@ def joint_beam_search(
             return g.reshape(BW, *x.shape[1:])
 
         att = jax.tree.map(gather_beam, att)
-        # gather successor CTC lattices for the chosen (beam, token) pairs
+        # build successor CTC lattices ONLY for the chosen (beam, token)
+        # pairs: scans over [T, BW] instead of [T, BW, V]
         flat_tok = new_tok.reshape(BW)
-        sel = lambda x: jnp.take_along_axis(        # [BW, V, T] -> [BW, T]
-            gather_beam(x), flat_tok[:, None, None], axis=1
-        )[:, 0]
+        emit_c = jnp.take_along_axis(
+            gather_beam(emit), flat_tok[:, None, None], axis=2
+        )[:, :, 0]                                           # [BW, T]
+        # lp is identical across the beams of one sample (tiled by repeat),
+        # so no beam gather is needed for it
+        lp_c = jnp.take_along_axis(
+            lp, flat_tok[:, None, None], axis=2
+        )[:, :, 0]
+        r_n_sel, r_b_sel = ctc_chosen_lattice(emit_c, lp_c, lp[:, :, blank])
         chose_eos = (flat_tok == eos) | gather_beam(
             finished.reshape(BW)
         )
         new_ctc = {
             "r_n": jnp.where(chose_eos[:, None],
-                             gather_beam(ctc["r_n"]), sel(r_n_ext)),
+                             gather_beam(ctc["r_n"]), r_n_sel),
             "r_b": jnp.where(chose_eos[:, None],
-                             gather_beam(ctc["r_b"]), sel(r_b_ext)),
+                             gather_beam(ctc["r_b"]), r_b_sel),
             "psi": jnp.where(
                 chose_eos,
                 gather_beam(ctc["psi"]),

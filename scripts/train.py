@@ -29,8 +29,13 @@ def main(argv):
     n_clips = int(args.pop("n_clips", 24))
     data_seed = int(args.pop("data_seed", 1))
     variation = float(args.pop("variation", 0.0))
+    variation_max = args.pop("variation_max", None)
+    if variation_max is not None:
+        # mixed-appearance corpus: per-clip level in [variation, variation_max)
+        variation = (variation, float(variation_max))
+    vmax = variation[1] if isinstance(variation, tuple) else variation
     assets_variant = args.pop("assets_variant",
-                              "robust" if variation > 0 else "default")
+                              "robust" if vmax > 0 else "default")
     if args:
         cfg = cfg.override(**args)
 
