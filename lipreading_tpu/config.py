@@ -26,6 +26,10 @@ class PreprocessConfig:
     ert_trees: int = 96           # boosted trees per cascade (parallel-friendly)
     ert_depth: int = 4            # split depth per tree (2^d leaves)
     ert_pool: int = 128           # candidate feature pixels per cascade
+    # "ert" (default; oracle-paired, golden-dump anchor) or "conv" (the
+    # distilled convnet, ops/landmarker.py — faster on the MXU; pass its
+    # weights where the ERT model normally goes)
+    landmarker: str = "ert"
 
 
 @dataclass

@@ -60,7 +60,12 @@ def preprocess_frames(
     N, H, W, _ = frames.shape
     gray = roi_ops.grayscale(frames)                          # [N, H, W]
     face_boxes = det_ops.detect(det_params, gray)             # [N, 3] float
-    landmarks = ert_ops.predict_batch(ert_model, gray, face_boxes)
+    if cfg.landmarker == "conv":
+        from lipreading_tpu.ops.landmarker import predict_batch_conv
+
+        landmarks = predict_batch_conv(ert_model, gray, face_boxes)
+    else:
+        landmarks = ert_ops.predict_batch(ert_model, gray, face_boxes)
     mboxes = mouth_boxes_from_landmarks(landmarks, cfg.roi_margin, H, W)
     rois = roi_ops.sample_rois(
         gray, mboxes, cfg.roi_size,
@@ -119,7 +124,7 @@ _PADDED_CACHE: dict = {}
 
 def _padded_jit(det, ert, frames, cfg: PreprocessConfig):
     key = (frames.shape, cfg.roi_size, cfg.roi_margin,
-           cfg.normalize_mean, cfg.normalize_std)
+           cfg.normalize_mean, cfg.normalize_std, cfg.landmarker)
     if key not in _PADDED_CACHE:
         _PADDED_CACHE[key] = jax.jit(
             lambda d, e, f: preprocess_frames(d, e, f, cfg)
@@ -163,7 +168,12 @@ def preprocess_clips_tracked(
         cand.reshape(B, T, topk, 3), conf.reshape(B, T, topk), threshold
     )
     flat_boxes = boxes.reshape(B * T, 3)
-    landmarks = ert_ops.predict_batch(ert_model, gray, flat_boxes)
+    if cfg.landmarker == "conv":
+        from lipreading_tpu.ops.landmarker import predict_batch_conv
+
+        landmarks = predict_batch_conv(ert_model, gray, flat_boxes)
+    else:
+        landmarks = ert_ops.predict_batch(ert_model, gray, flat_boxes)
     mboxes = mouth_boxes_from_landmarks(landmarks, cfg.roi_margin, H, W)
     rois = roi_ops.sample_rois(
         gray, mboxes, cfg.roi_size,
@@ -202,7 +212,7 @@ def preprocess_padded_tracked(
             [frames, np.repeat(frames[-1:], padded - n, axis=0)]
         )
     key = (frames.shape, cfg.roi_size, cfg.roi_margin, cfg.normalize_mean,
-           cfg.normalize_std, threshold, topk)
+           cfg.normalize_std, cfg.landmarker, threshold, topk)
     if key not in _PADDED_TRACKED_CACHE:
         _PADDED_TRACKED_CACHE[key] = jax.jit(
             lambda d, p, e, f: preprocess_clips_tracked(

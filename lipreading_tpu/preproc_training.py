@@ -253,6 +253,118 @@ def train_presence_head(
     return {k: np.asarray(v) for k, v in params.items()}
 
 
+def train_conv_landmarker(
+    det_params,
+    ert_model,
+    clips,
+    seed: int = 0,
+    steps: int = 4000,
+    batch: int = 64,
+    lr: float = 2e-3,
+    verbose: bool = True,
+):
+    """Distill the ERT cascade into the conv landmarker (ops/landmarker.py).
+
+    Targets are the ERT's OWN predictions on the DETECTOR's boxes — the
+    exact deployment distribution of the "ert" preprocessing path — so the
+    conv path mimics the shipped landmarker, biases included (SURVEY.md §7
+    plan-B distillation; gate = landmark L2 / downstream ROI agreement).
+    Returns the numpy weight dict.
+    """
+    from lipreading_tpu.ops import landmarker as lmk
+    from lipreading_tpu.ops.ert import model_to_jax, predict_batch
+    from lipreading_tpu.ops.roi import sample_rois_xla
+
+    gray_list = [grayscale(c.frames[t]) for c in clips
+                 for t in range(c.num_frames)]
+    gray = np.stack(gray_list).astype(np.float32)
+    H, W = gray.shape[1:]
+    det = ddet.params_to_jax(det_params)
+    ert = model_to_jax(ert_model)
+
+    # teacher pass (device, chunked): detector boxes -> ERT landmarks
+    crops, targets = [], []
+    ibox_fn = jax.jit(lambda b: lmk.round_face_boxes(b, H, W))
+    for lo in range(0, gray.shape[0], 512):
+        g = jnp.asarray(gray[lo:lo + 512])
+        b = ddet.detect(det, g)
+        t_lm = predict_batch(ert, g, b)
+        ib = ibox_fn(b)
+        crops.append(np.asarray(
+            sample_rois_xla(g, ib, lmk.CROP, normalize=False)
+        ))
+        origin = np.asarray(ib[:, :2], np.float32)[:, None, :]
+        size = np.asarray(ib[:, 2], np.float32)[:, None, None]
+        targets.append((np.asarray(t_lm) - origin) / size)   # box units
+    crops = np.concatenate(crops)
+    targets = np.concatenate(targets).astype(np.float32)
+
+    mean_shape = targets.mean(axis=0)
+    params = jax.tree.map(
+        jnp.asarray, lmk.init_landmarker(seed, mean_shape=mean_shape)
+    )
+    tx = optax.adam(optax.warmup_cosine_decay_schedule(
+        0.0, lr, 100, max(steps, 101), lr * 0.05))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, o, crop_b, t_b):
+        def loss_fn(p):
+            return ((lmk.forward(p, crop_b) - t_b) ** 2).mean()
+
+        l, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, l
+
+    rng = np.random.default_rng(seed)
+    n = crops.shape[0]
+    for i in range(steps):
+        idx = rng.integers(0, n, size=batch)
+        params, opt_state, l = step(
+            params, opt_state, jnp.asarray(crops[idx]),
+            jnp.asarray(targets[idx]),
+        )
+        if verbose and (i + 1) % max(steps // 8, 1) == 0:
+            print(f"  landmarker step {i+1}/{steps} loss {float(l):.6f}")
+    return {k: np.asarray(v) for k, v in params.items()}
+
+
+def conv_landmarker_error(lm_params, det_params, ert_model, clips) -> float:
+    """Mean |conv - ERT| landmark distance in px over clips (the distillation
+    gate metric)."""
+    from lipreading_tpu.ops import landmarker as lmk
+    from lipreading_tpu.ops.ert import model_to_jax, predict_batch
+
+    det = ddet.params_to_jax(det_params)
+    ert = model_to_jax(ert_model)
+    lmj = lmk.params_to_jax(lm_params)
+    errs = []
+    for c in clips:
+        g = jnp.asarray(np.stack(
+            [grayscale(c.frames[t]) for t in range(c.num_frames)]
+        ).astype(np.float32))
+        b = ddet.detect(det, g)
+        ref = predict_batch(ert, g, b)
+        got = lmk.predict_batch_conv(lmj, g, b)
+        errs.append(float(jnp.linalg.norm(got - ref, axis=-1).mean()))
+    return float(np.mean(errs))
+
+
+def save_landmarker(params: dict, path) -> None:
+    np.savez_compressed(path, **params)
+
+
+def load_landmarker(assets_dir: str | None = None, variant: str = "default"):
+    """Load the conv landmarker weights for a variant (or None if untrained)."""
+    d = assets_dir or ASSETS_DIR
+    sfx = "" if variant == "default" else f"_{variant}"
+    path = os.path.join(d, f"landmarker_conv{sfx}.npz")
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    return {k: z[k] for k in z.files}
+
+
 def save_presence(params: dict, path) -> None:
     np.savez_compressed(path, **params)
 
