@@ -26,11 +26,17 @@ import jax.numpy as jnp
 NEG = -1e30
 
 
-def track_boxes(boxes: jnp.ndarray, conf: jnp.ndarray, threshold: float):
+def track_boxes(boxes: jnp.ndarray, conf: jnp.ndarray, threshold: float,
+                init_state=None, return_state: bool = False):
     """boxes [B, T, K, 3] candidates, conf [B, T, K] confidence in (0, 1)
     (sigmoid of presence logits). Returns (tracked [B, T, 3] float,
     valid [B, T] bool) — valid marks frames with a confident detection;
     invalid frames hold the carried (or back-filled) box.
+
+    ``init_state``/``return_state`` chain the track across chunk boundaries
+    (streaming): state is (have [B] bool, box [B, 3]) — the last confident
+    box of the previous chunk. With a live prior state, a chunk-leading
+    no-face run carries that box instead of back-filling.
     """
     B, T, K, _ = boxes.shape
 
@@ -58,8 +64,9 @@ def track_boxes(boxes: jnp.ndarray, conf: jnp.ndarray, threshold: float):
     # scan over time (move T to the front)
     bT = jnp.moveaxis(boxes, 1, 0)                   # [T, B, K, 3]
     cT = jnp.moveaxis(conf, 1, 0)                    # [T, B, K]
-    init = (jnp.zeros((B,), bool), jnp.zeros((B, 3), boxes.dtype))
-    _, (out, valid, have_so_far) = jax.lax.scan(fwd, init, (bT, cT))
+    init = (init_state if init_state is not None
+            else (jnp.zeros((B,), bool), jnp.zeros((B, 3), boxes.dtype)))
+    final_state, (out, valid, have_so_far) = jax.lax.scan(fwd, init, (bT, cT))
 
     # back-fill ONLY the no-face prefix (frames with no confident detection
     # at or before them) with the first confident box; frames after a valid
@@ -75,7 +82,10 @@ def track_boxes(boxes: jnp.ndarray, conf: jnp.ndarray, threshold: float):
         bwd, out[-1], (out[::-1], valid[::-1], have_so_far[::-1])
     )
     tracked = jnp.moveaxis(out_rev[::-1], 0, 1)      # [B, T, 3]
-    return tracked, jnp.moveaxis(valid, 0, 1)
+    valid_bt = jnp.moveaxis(valid, 0, 1)
+    if return_state:
+        return tracked, valid_bt, final_state
+    return tracked, valid_bt
 
 
 def compact_valid_frames(x: jnp.ndarray, valid: jnp.ndarray,

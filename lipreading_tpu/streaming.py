@@ -53,12 +53,24 @@ class StreamingTranscriber:
         chunk_bucket: int = 16,
         tail_guard: int = 24,
         context: int = 16,
+        presence=None,
+        tracked: bool = False,
+        track_threshold: float = 0.5,
+        track_topk: int = 4,
     ):
+        """``tracked=True`` (needs ``presence``) runs the robust detection
+        path per chunk — top-k candidates + presence gating + temporal
+        tracking whose state persists ACROSS chunks — and applies the
+        reference's skip-frame semantics live: frames without a confident
+        face are never buffered, so a cutaway mid-stream cannot corrupt the
+        transcript."""
         if cfg.decoder not in ("ctc", "hybrid"):
             raise ValueError(
                 "streaming needs a CTC head for alignment commits; "
                 f"decoder={cfg.decoder!r}"
             )
+        if tracked and presence is None:
+            raise ValueError("tracked streaming requires the presence head")
         self.params = params
         self.cfg = cfg
         self.window = window
@@ -72,6 +84,55 @@ class StreamingTranscriber:
         self._since_decode = 0
         self.committed = ""
         self.hypothesis = ""
+
+        self._tracked = tracked
+        if tracked:
+            from lipreading_tpu.ops import detector as det_ops
+            from lipreading_tpu.ops import ert as ert_ops
+            from lipreading_tpu.ops import roi as roi_ops
+            from lipreading_tpu.ops.preprocess import (
+                mouth_boxes_from_landmarks,
+            )
+            from lipreading_tpu.ops.tracking import track_boxes
+
+            pc = cfg.preprocess
+
+            @jax.jit
+            def _pre_tracked(frames, have, prev_box):
+                N, H, W, _ = frames.shape
+                gray = roi_ops.grayscale(frames)
+                feats, head = det_ops.forward_features(
+                    det, roi_ops.resize_frames(gray, det_ops.INPUT)
+                )
+                pmap = det_ops.presence_logits(presence, feats)
+                cand, logit_k = det_ops.decode_boxes_topk(
+                    head, H, W, track_topk, pmap
+                )
+                conf = jax.nn.sigmoid(logit_k)
+                boxes, valid, state = track_boxes(
+                    cand[None], conf[None], track_threshold,
+                    init_state=(have, prev_box), return_state=True,
+                )
+                flat_boxes = boxes[0]
+                if pc.landmarker == "conv":
+                    from lipreading_tpu.ops.landmarker import (
+                        predict_batch_conv,
+                    )
+
+                    lms = predict_batch_conv(ert, gray, flat_boxes)
+                else:
+                    lms = ert_ops.predict_batch(ert, gray, flat_boxes)
+                mboxes = mouth_boxes_from_landmarks(lms, pc.roi_margin, H, W)
+                rois = roi_ops.sample_rois(
+                    gray, mboxes, pc.roi_size,
+                    mean=pc.normalize_mean, std=pc.normalize_std,
+                )
+                return rois, valid[0], state
+
+            self._pre_tracked = _pre_tracked
+            self._track_state = (
+                jnp.zeros((1,), bool), jnp.zeros((1, 3), jnp.float32)
+            )
 
         @jax.jit
         def _pre(frames):
@@ -101,7 +162,17 @@ class StreamingTranscriber:
             frames = np.concatenate(
                 [frames, np.repeat(frames[-1:], padded - n, axis=0)]
             )
-        rois = np.asarray(self._pre(jnp.asarray(frames)))[:n]
+        if self._tracked:
+            rois, valid, self._track_state = self._pre_tracked(
+                jnp.asarray(frames), *self._track_state
+            )
+            keep = np.asarray(valid)[:n]
+            rois = np.asarray(rois)[:n][keep]     # live skip-frame semantics
+            n = int(keep.sum())
+            if n == 0:
+                return self.hypothesis
+        else:
+            rois = np.asarray(self._pre(jnp.asarray(frames)))[:n]
         self._buf.extend(rois)
         self._since_decode += n
         if self._since_decode >= self.decode_every:

@@ -115,3 +115,43 @@ def test_long_stream_matches_batch(assets):
     # seam-sound: streaming ~= batch ~= ground truth (no dup/drop at seams)
     assert cer(got, want) < 0.05, (got, want)
     assert cer(got, truth) < 0.10, (got, truth)
+
+
+@pytest.mark.slow
+def test_tracked_stream_skips_cutaway(assets):
+    """Tracked streaming (presence gating + cross-chunk track state): a
+    mid-stream cutaway is skipped live — the transcript matches the clean
+    stream instead of absorbing garbage ROIs — and the track state carries
+    the box across the chunk boundary the gap straddles."""
+    from lipreading_tpu.fixtures import blank_out_frames, make_clip
+    from lipreading_tpu.metrics import cer
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+    from lipreading_tpu.preproc_training import load_presence, load_release_model
+    from lipreading_tpu.streaming import StreamingTranscriber
+
+    presence = load_presence()
+    rel = load_release_model()
+    if presence is None or rel is None:
+        pytest.skip("presence head or release checkpoint missing")
+    params, cfg = rel
+    det_np, ert_np = assets
+    det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+    presence = {k: np.asarray(v) for k, v in presence.items()}
+
+    clip = make_clip(8901, cfg.data)
+    gap = list(range(14, 19))           # straddles the 16-frame chunk seam
+    frames = blank_out_frames(clip, gap, seed=4)
+
+    def run(fr):
+        st = StreamingTranscriber(params, cfg, det, ert, window=64,
+                                  decode_every=16, chunk_bucket=16,
+                                  presence=presence, tracked=True)
+        for lo in range(0, fr.shape[0], 16):
+            st.feed(fr[lo:lo + 16])
+        return st.finish()
+
+    clean = run(clip.frames)
+    corrupted = run(frames)
+    assert cer(corrupted, clean) < 0.15, (corrupted, clean)
+    assert cer(clean, clip.text) < 0.15, (clean, clip.text)
