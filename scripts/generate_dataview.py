@@ -6,6 +6,13 @@ real videos + .vtt captions via --video).
 Usage:
   python scripts/generate_dataview.py out=data/dataviews/train n_clips=40 seed=1
   python scripts/generate_dataview.py out=... video=clip.mp4 vtt=clip.vtt
+  python scripts/generate_dataview.py out=... tracked=1 [keep_invalid=1]
+      [variation=0.0] [variation_max=] [assets_variant=default]
+
+tracked=1 runs the robust preprocessing (top-k detection + presence gating +
+temporal tracking) with the reference's skip-frame semantics; keep_invalid=1
+stores per-frame valid masks instead of dropping. variation/variation_max
+draw per-clip appearance levels for mixed corpora.
 """
 import os
 import sys
@@ -24,11 +31,22 @@ def main(argv):
     n_clips = int(args.pop("n_clips", 40))
     seed = int(args.pop("seed", 1))
     gt = args.pop("gt_landmarks", "0") in ("1", "true")
+    tracked = args.pop("tracked", "0") in ("1", "true")
+    keep_invalid = args.pop("keep_invalid", "0") in ("1", "true")
+    variation = float(args.pop("variation", 0.0))
+    vmax = args.pop("variation_max", None)
+    if vmax is not None:
+        variation = (variation, float(vmax))
+    v_hi = variation[1] if isinstance(variation, tuple) else variation
+    assets_variant = args.pop("assets_variant",
+                              "robust" if v_hi > 0 else "default")
     from lipreading_tpu.data.dataview import build_fixture_dataview
 
     view = build_fixture_dataview(
         out, n_clips=n_clips, seed=seed, data_cfg=DataConfig(),
-        use_ground_truth_landmarks=gt,
+        use_ground_truth_landmarks=gt, tracked=tracked,
+        keep_invalid=keep_invalid, variation=variation,
+        assets_variant=assets_variant,
     )
     print(f"wrote {len(view)} samples to {out}")
 
