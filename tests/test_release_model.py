@@ -37,3 +37,41 @@ def test_release_model_heldout_cer(assets):
         refs.append(clip.text)
     cer = corpus_cer(hyps, refs)
     assert cer < 0.30, (cer, list(zip(hyps, refs)))
+
+
+def test_universal_release_covers_both_appearances():
+    """The universal release (ONE model for canonical AND styled clips,
+    trained on per-clip variation in [0, 0.7) behind the robust stack) must
+    lip-read held-out clips of BOTH appearances. Measured at export (TPU,
+    beam 8 + LM, 12 clips): canonical CER 0.0000, styled(0.6) CER 0.0523 —
+    this CPU gate uses 2+2 clips, greedy, as a drift pin."""
+    import jax.numpy as jnp
+
+    from lipreading_tpu.fixtures import make_clip
+    from lipreading_tpu.infer import transcribe
+    from lipreading_tpu.metrics import corpus_cer
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+    from lipreading_tpu.ops.preprocess import preprocess_padded
+    from lipreading_tpu.preproc_training import load_assets, load_release_model
+
+    rel = load_release_model("transformer_hybrid_universal")
+    if rel is None:
+        pytest.skip("universal release not shipped")
+    params, cfg = rel
+    det_np, ert_np = load_assets(variant="robust")
+    det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+
+    hyps, refs = [], []
+    for variation in (0.0, 0.6):
+        for i in range(2):
+            clip = make_clip(515151 + i, cfg.data, variation=variation)
+            rois = preprocess_padded(det, ert, clip.frames, cfg.preprocess)
+            T = rois.shape[0]
+            pad = -(-T // 64) * 64
+            rois = np.pad(rois, ((0, pad - T), (0, 0), (0, 0)))
+            hyps.append(transcribe(params, cfg, rois[None],
+                                   jnp.asarray([T]), beam=1)[0])
+            refs.append(clip.text)
+    cer = corpus_cer(hyps, refs)
+    assert cer < 0.25, (cer, list(zip(hyps, refs)))
