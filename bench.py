@@ -54,6 +54,31 @@ def main():
     out.block_until_ready()
     tpu_fps = n * reps / (time.perf_counter() - t0)
 
+    # optional: the distilled conv-landmarker preprocessing path
+    conv_fps = None
+    try:
+        from lipreading_tpu.config import PreprocessConfig as _PC
+        from lipreading_tpu.ops.landmarker import params_to_jax as lmk_to_jax
+        from lipreading_tpu.preproc_training import load_landmarker
+
+        lm_np = load_landmarker()
+        if lm_np is not None:
+            conv_cfg = _PC(landmarker="conv")
+            lmj = lmk_to_jax(lm_np)
+
+            @jax.jit
+            def pre_conv(fr):
+                return preprocess_frames(det, lmj, fr, conv_cfg)
+
+            pre_conv(dev_frames).block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                outc = pre_conv(dev_frames)
+            outc.block_until_ready()
+            conv_fps = n * reps / (time.perf_counter() - t0)
+    except Exception as e:
+        print(f"# conv landmarker bench skipped: {e}", file=sys.stderr)
+
     # oracle denominator: the per-frame CPU loop on a subset
     oracle = run_clip(clips[0].frames[:48], det_np, ert_np, pre_cfg)
     cpu_fps = oracle.frames_per_sec
@@ -199,6 +224,7 @@ def main():
         "vs_baseline": round(tpu_fps / cpu_fps, 2),
         "cpu_oracle_fps": round(cpu_fps, 1),
         "parity_max_diff": max_diff,
+        "preprocess_conv_landmarker_fps": round(conv_fps, 1) if conv_fps else None,
         "e2e_video_to_transcript_fps": round(e2e_fps, 1) if e2e_fps else None,
         "e2e_flagship_fps": round(flagship_fps, 1) if flagship_fps else None,
         "train_step_fps": round(train_fps, 1) if train_fps else None,
