@@ -59,9 +59,13 @@ class BucketedDataset:
         # optional split restriction (data/dataview.split_by_clip)
         self.indices = list(indices) if indices is not None \
             else list(range(len(view)))
-        # precompute bucket assignment per retained sample
+        # precompute bucket assignment per retained sample; masked builds
+        # (dataview keep_invalid=True) bucket by their confident-frame count
+        # since make_batch compacts unconfident frames away (the reference's
+        # skip-frame semantics, SURVEY.md §4.1 — same contract as the fused
+        # trainer's on-device compact_valid_frames)
         self.sample_bucket = np.asarray(
-            [self._bucket_for(view.num_frames(i)) for i in self.indices]
+            [self._bucket_for(view.num_valid(i)) for i in self.indices]
         )
 
     def _bucket_for(self, t: int) -> int:
@@ -88,7 +92,7 @@ class BucketedDataset:
         texts = []
         for k, i in enumerate(indices):
             vi = self.indices[i]
-            roi = self.view.roi_u8(vi)
+            roi = self.view.roi_u8_compact(vi)
             t = min(roi.shape[0], tb)
             rois[k, :t] = roi[:t]
             fl[k] = t

@@ -96,6 +96,25 @@ class Dataview:
             return z["frame_valid"]
         return np.ones((self.samples[i]["num_frames"],), bool)
 
+    def num_valid(self, i: int) -> int:
+        """Confident-frame count (== num_frames for untracked builds).
+
+        Index-only: no npz load (``num_valid`` is written to index.json by
+        DataviewWriter.add when a mask is stored)."""
+        s = self.samples[i]
+        return int(s.get("num_valid", s["num_frames"]))
+
+    def roi_u8_compact(self, i: int) -> np.ndarray:
+        """ROI stack with unconfident frames removed — the reference's
+        skip-frame semantics (SURVEY.md §4.1) applied at read time for
+        ``keep_invalid=True`` builds; identity for untracked builds.
+        One npz load (roi + mask live in the same file)."""
+        z = np.load(os.path.join(self.path, self.samples[i]["file"]))
+        roi = z["roi_u8"]
+        if "frame_valid" in z:
+            roi = roi[z["frame_valid"]]
+        return roi
+
 
 def build_fixture_dataview(
     out_dir: str,

@@ -153,3 +153,37 @@ def test_fused_tracked_train_step(tmp_path, assets):
                       presence=presence, tracked=True)
     m = tr.train_step(batch)
     assert np.isfinite(float(m["loss"])), m
+
+
+@pytest.mark.slow
+def test_host_batching_compacts_masked_frames(tmp_path, small_cfg):
+    """keep_invalid=True dataview -> BucketedDataset applies skip-frame
+    semantics at read time: batches carry only confident frames, lengths
+    equal num_valid, and bucketing uses the compacted length."""
+    _need_presence()
+    from lipreading_tpu.data.dataset import BucketedDataset
+    from lipreading_tpu.config import DataConfig as DC
+
+    gaps = {0: [5, 6, 7]}
+    view = build_fixture_dataview(
+        str(tmp_path / "masked"), n_clips=1, seed=13, data_cfg=small_cfg,
+        tracked=True, keep_invalid=True,
+        frame_transform=_cutaway_transform(gaps),
+    )
+    full = [i for i, s in enumerate(view.samples)
+            if s["file"].endswith("_full.npz")][0]
+    v = view.frame_valid(full)
+    assert view.num_valid(full) == int(v.sum()) < view.num_frames(full)
+    np.testing.assert_array_equal(view.roi_u8_compact(full),
+                                  view.roi_u8(full)[v])
+
+    ds = BucketedDataset(view, DC(), indices=[full])
+    # bucket chosen by the compacted length, not the stored frame count
+    assert ds.sample_bucket[0] == ds._bucket_for(view.num_valid(full))
+    b = ds.make_batch([0])
+    assert int(b.frame_lengths[0]) == min(view.num_valid(full),
+                                          ds.sample_bucket[0])
+    np.testing.assert_array_equal(
+        b.rois_u8[0, : b.frame_lengths[0]],
+        view.roi_u8_compact(full)[: b.frame_lengths[0]],
+    )
