@@ -89,10 +89,13 @@ def sample_rois_xla(
 
 
 def _roi_kernel(boxes_ref, gray_ref, out_ref, *, H, W, R, mean, std, normalize):
+    # boxes ride SMEM transposed as [3, N]: SMEM pads the minor axis per row
+    # (512 B granularity), so [N, 3] would burn 512 B per FRAME and trip the
+    # 1 MiB SMEM cap at N=2048; [3, N] is three padded rows for any N.
     i = pl.program_id(0)
-    x0 = boxes_ref[i, 0]
-    y0 = boxes_ref[i, 1]
-    size = boxes_ref[i, 2].astype(jnp.float32)
+    x0 = boxes_ref[0, i]
+    y0 = boxes_ref[1, i]
+    size = boxes_ref[2, i].astype(jnp.float32)
 
     def interp(start, src_dim):
         js = jax.lax.broadcasted_iota(jnp.int32, (R, src_dim), 0).astype(jnp.float32)
@@ -157,7 +160,7 @@ def sample_rois_pallas(
             bytes_accessed=N * (H * W + out_size * out_size) * 4,
             transcendentals=0,
         ),
-    )(boxes.astype(jnp.int32), gray.astype(jnp.float32))
+    )(boxes.astype(jnp.int32).T, gray.astype(jnp.float32))
 
 
 def sample_rois(gray, boxes, out_size: int = 96, **kw):

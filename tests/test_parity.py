@@ -137,6 +137,32 @@ def test_roi_pallas_parity(gray_np, mouth_boxes):
     np.testing.assert_allclose(got, want, atol=1e-3)
 
 
+def test_roi_pallas_large_batch():
+    """N=2048+ frames through the Pallas ROI kernel in one call.
+
+    Regression: boxes used to ride SMEM as [N, 3] — SMEM pads the minor axis
+    per row (512 B granularity), so N=2048 burned the whole 1 MiB SMEM budget
+    and the TPU compile failed. The [3, N] transpose keeps SMEM at 3 padded
+    rows for any N (interpret mode checks the index plumbing; the SMEM bound
+    itself only manifests compiling on real TPU, covered by bench runs)."""
+    rng = np.random.default_rng(7)
+    N = 2048
+    gray = rng.uniform(0, 255, (N, 40, 40)).astype(np.float32)
+    boxes = np.stack(
+        [rng.integers(0, 10, N), rng.integers(0, 10, N),
+         rng.integers(16, 30, N)], axis=1,
+    ).astype(np.int32)
+    got = np.asarray(
+        droi.sample_rois_pallas(jnp.asarray(gray), jnp.asarray(boxes),
+                                out_size=24)
+    )
+    want = np.asarray(
+        droi.sample_rois_xla(jnp.asarray(gray), jnp.asarray(boxes),
+                             out_size=24)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_full_pipeline_parity(assets, clip0):
     """End-to-end: batched device preprocess == per-frame oracle loop."""
     det, ert = assets
