@@ -80,6 +80,19 @@ def main(argv):
 
     det_np, ert_np = load_assets(variant=assets_variant)
     det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+    if cfg.preprocess.landmarker == "conv":
+        # preprocess.landmarker=conv: distilled conv landmarker stands in for
+        # the ERT (2.2x preprocessing throughput; ops/landmarker.py)
+        from lipreading_tpu.ops.landmarker import params_to_jax as lmk_to_jax
+        from lipreading_tpu.preproc_training import load_landmarker
+
+        lm_np = load_landmarker(variant=assets_variant)
+        if lm_np is None:
+            raise SystemExit(
+                f"preprocess.landmarker=conv but no conv landmarker asset "
+                f"for variant {assets_variant!r} (scripts/train_landmarker.py)"
+            )
+        ert = lmk_to_jax(lm_np)
 
     if stream:
         # online mode: feed the clip in webcam-sized chunks through the
