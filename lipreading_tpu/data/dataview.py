@@ -260,6 +260,43 @@ def clip_id_of(sample: dict) -> str:
     return sample["file"].rsplit("_", 1)[0]
 
 
+def merge_dataviews(out_dir: str, paths: list[str]) -> Dataview:
+    """Compose several dataviews into one (corpus mixing: e.g. a canonical
+    build + a styled build + a tracked build trained as a single corpus).
+
+    Sample files are hard-linked when possible (same filesystem) and copied
+    otherwise; ids are prefixed ``dNN_`` per source view so clip identities
+    stay distinct across sources (split_by_clip keeps a source clip's cue
+    and full samples together). Metas must agree on roi_size/normalization
+    (fps may differ — it is informational after preprocessing)."""
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    views = [Dataview(p) for p in paths]
+    meta = dict(views[0].meta)
+    entries = []
+    for vi, v in enumerate(views):
+        for key in ("roi_size", "normalize_mean", "normalize_std"):
+            if v.meta[key] != meta[key]:
+                raise ValueError(
+                    f"dataview {paths[vi]!r} meta {key}={v.meta[key]} "
+                    f"!= {meta[key]} of {paths[0]!r}"
+                )
+        for s in v.samples:
+            fname = f"d{vi:02d}_{s['file']}"
+            src = os.path.join(v.path, s["file"])
+            dst = os.path.join(out_dir, fname)
+            if not os.path.exists(dst):
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copyfile(src, dst)
+            entries.append(dict(s, file=fname))
+    with open(os.path.join(out_dir, "index.json"), "w") as f:
+        json.dump({"meta": meta, "samples": entries}, f, indent=1)
+    return Dataview(out_dir)
+
+
 def split_by_clip(
     view: Dataview, fractions: dict[str, float], seed: int = 0
 ) -> dict[str, list[int]]:

@@ -8,6 +8,7 @@ Usage:
   python scripts/generate_dataview.py out=... video=clip.mp4 vtt=clip.vtt
   python scripts/generate_dataview.py out=... tracked=1 [keep_invalid=1]
       [variation=0.0] [variation_max=] [assets_variant=default]
+  python scripts/generate_dataview.py out=... merge=viewA,viewB[,...]
 
 tracked=1 runs the robust preprocessing (top-k detection + presence gating +
 temporal tracking) with the reference's skip-frame semantics; keep_invalid=1
@@ -25,6 +26,14 @@ from lipreading_tpu.config import DataConfig, parse_overrides
 def main(argv):
     args = parse_overrides(argv)
     out = args.pop("out", "data/dataviews/train")
+    if "merge" in args:
+        from lipreading_tpu.data.dataview import merge_dataviews
+
+        paths = [p for p in args.pop("merge").split(",") if p]
+        assert not args, f"unknown args {args}"
+        view = merge_dataviews(out, paths)
+        print(f"merged {len(paths)} views -> {len(view)} samples at {out}")
+        return
     if "video" in args:
         build_from_video(out, args)
         return

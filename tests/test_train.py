@@ -206,3 +206,42 @@ def test_variation_dataview_builds(tmp_path):
     roi = view.roi_u8(0)
     # a mouth is in frame: the ROI must have real contrast
     assert roi.std() > 10
+
+
+def test_merge_dataviews(dataview, tmp_path):
+    """Corpus composition: merged view preserves samples (prefixed ids),
+    keeps source clips distinct for split_by_clip, rejects meta mismatch."""
+    from lipreading_tpu.data.dataview import merge_dataviews, split_by_clip
+
+    cfg = tiny_cfg()
+    other = build_fixture_dataview(
+        str(tmp_path / "b"), n_clips=1, seed=77, data_cfg=cfg.data,
+        use_ground_truth_landmarks=True,
+    )
+    merged = merge_dataviews(str(tmp_path / "m"),
+                             [dataview.path, other.path])
+    assert len(merged) == len(dataview) + len(other)
+    np.testing.assert_array_equal(merged.roi_u8(0), dataview.roi_u8(0))
+    np.testing.assert_array_equal(merged.roi_u8(len(dataview)),
+                                  other.roi_u8(0))
+    assert merged.text(len(dataview)) == other.text(0)
+    # clip ids carry the source prefix: seed-42 clip0 != seed-77 clip0
+    from lipreading_tpu.data.dataview import clip_id_of
+
+    ids = {clip_id_of(s) for s in merged.samples}
+    assert len(ids) == 3  # 2 clips from the fixture view + 1 from other
+    splits = split_by_clip(merged, {"train": 0.67, "val": 0.33}, seed=0)
+    assert set(splits) == {"train", "val"}
+
+    import dataclasses
+
+    from lipreading_tpu.config import PreprocessConfig
+
+    bad_dir = str(tmp_path / "bad")
+    bad = build_fixture_dataview(
+        bad_dir, n_clips=1, seed=78, data_cfg=cfg.data,
+        pre_cfg=PreprocessConfig(roi_size=64),
+        use_ground_truth_landmarks=True,
+    )
+    with pytest.raises(ValueError, match="roi_size"):
+        merge_dataviews(str(tmp_path / "m2"), [dataview.path, bad.path])
