@@ -53,8 +53,22 @@ def greedy_decode(step_fn, state, batch: int, max_len: int, sos: int, eos: int):
     tok0 = jnp.full((batch,), sos, jnp.int32)
     fin0 = jnp.zeros((batch,), bool)
     len0 = jnp.zeros((batch,), jnp.int32)
-    (_, _, _, lengths), toks = jax.lax.scan(
-        body, (state, tok0, fin0, len0), None, length=max_len
+    # early exit once every row is finished (decode is latency-bound; the
+    # skipped steps would only re-emit eos — buffer prefilled accordingly)
+    toks_buf0 = jnp.full((max_len, batch), eos, jnp.int32)
+
+    def w_cond(c):
+        t, (_, _, finished, _), _ = c
+        return (t < max_len) & ~finished.all()
+
+    def w_body(c):
+        t, state, toks_buf = c
+        state, tok_t = body(state, None)
+        return (t + 1, state,
+                jax.lax.dynamic_update_index_in_dim(toks_buf, tok_t, t, 0))
+
+    _, (_, _, _, lengths), toks = jax.lax.while_loop(
+        w_cond, w_body, (jnp.int32(0), (state, tok0, fin0, len0), toks_buf0)
     )
     ids = jnp.moveaxis(toks, 0, 1)                          # [B, max_len]
     # mask everything after (and including) eos
@@ -117,8 +131,30 @@ def beam_search(
     toks0 = jnp.full((batch, beam), sos, jnp.int32)
     fin0 = jnp.zeros((batch, beam), bool)
     len0 = jnp.zeros((batch, beam), jnp.int32)
-    (state, scores, _, finished, lengths), (toks, srcs) = jax.lax.scan(
-        body, (init_state, scores0, toks0, fin0, len0), None, length=max_len
+    # early exit once every beam is finished: the skipped scan steps would
+    # emit eos on every beam with an identity permutation (scores sorted,
+    # eos costs 0.0, lax.top_k stable) — prefill the buffers with exactly
+    # that and the backtrack/selection below is unchanged
+    toks_buf0 = jnp.full((max_len, batch, beam), eos, jnp.int32)
+    srcs_buf0 = jnp.tile(
+        jnp.arange(beam, dtype=jnp.int32)[None, None], (max_len, batch, 1)
+    )
+
+    def w_cond(c):
+        t, (_, _, _, finished, _), _, _ = c
+        return (t < max_len) & ~finished.all()
+
+    def w_body(c):
+        t, state, toks_buf, srcs_buf = c
+        state, (tok_t, src_t) = body(state, None)
+        toks_buf = jax.lax.dynamic_update_index_in_dim(toks_buf, tok_t, t, 0)
+        srcs_buf = jax.lax.dynamic_update_index_in_dim(srcs_buf, src_t, t, 0)
+        return t + 1, state, toks_buf, srcs_buf
+
+    _, (state, scores, _, finished, lengths), toks, srcs = jax.lax.while_loop(
+        w_cond, w_body,
+        (jnp.int32(0), (init_state, scores0, toks0, fin0, len0),
+         toks_buf0, srcs_buf0),
     )
     # backtrack: follow src_beam pointers from the final beams to t=0
     def backtrack(carry, xs):
