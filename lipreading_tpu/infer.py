@@ -115,10 +115,12 @@ def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None
         if beam > 1:
             from lipreading_tpu.ops.joint_decode import ctc_prefix_beam_device
 
+            if lm is None and lm_weight > 0.0:
+                lm = _load_lm()   # safe only when decode_ids runs eagerly
             return ctc_prefix_beam_device(
                 logits, frame_lengths, beam, max_len,
                 blank=vocab.blank_id, sos=vocab.sos_id, eos=vocab.eos_id,
-                lexicon=lexicon,
+                lexicon=lexicon, lm=lm, lm_weight=lm_weight,
             )
         if jax.default_backend() == "tpu":
             from lipreading_tpu.ops.decode_pallas import ctc_greedy_ids_pallas

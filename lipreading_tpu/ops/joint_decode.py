@@ -136,7 +136,8 @@ def ctc_chosen_lattice(emit_c, lp_c, lp_blank):
 
 def ctc_prefix_beam_device(logits: jnp.ndarray, lengths: jnp.ndarray,
                            beam: int, max_len: int, blank: int = 0,
-                           sos: int = 1, eos: int = 2, lexicon=None):
+                           sos: int = 1, eos: int = 2, lexicon=None,
+                           lm=None, lm_weight: float = 0.0):
     """Exact CTC prefix beam search as ONE jitted device program.
 
     Label-synchronous specialization of :func:`joint_beam_search` at
@@ -164,6 +165,7 @@ def ctc_prefix_beam_device(logits: jnp.ndarray, lengths: jnp.ndarray,
         B, beam, max_len, sos, eos, blank=blank,
         ctc_weight=1.0, length_penalty=0.0,
         require_finished=True, lexicon=lexicon,
+        lm=lm, lm_weight=lm_weight,
     )
 
 

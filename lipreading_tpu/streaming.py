@@ -49,7 +49,8 @@ class StreamingTranscriber:
         ert,
         window: int = 128,
         decode_every: int = 16,
-        beam: int = 1,          # kept for API compatibility; tail is greedy
+        beam: int = 1,          # >1: live tail decoded by the device CTC
+        lm_weight: float = 0.0,  # prefix beam (+optional char-LM fusion)
         chunk_bucket: int = 16,
         tail_guard: int = 24,
         context: int = 16,
@@ -147,6 +148,36 @@ class StreamingTranscriber:
 
         self._align = _align
 
+        self.beam = beam
+        self._tail_beam = None
+        if beam > 1:
+            # live-tail quality: exact device CTC prefix beam (+ optional
+            # char-LM shallow fusion) over the uncommitted window suffix.
+            # Alignment commits stay greedy best-path (they need per-frame
+            # text attribution, which a beam hypothesis does not provide).
+            from lipreading_tpu.ops.joint_decode import ctc_prefix_beam_device
+
+            lm = None
+            if lm_weight > 0.0:
+                from lipreading_tpu.infer import _load_lm
+
+                lm = _load_lm()            # resolve OUTSIDE jit (infer.py)
+            max_len = cfg.train.max_decode_len
+
+            @jax.jit
+            def _tail_beam(rois, length, ctx):
+                lp = ctc_log_probs(params, cfg, rois, length)
+                # live suffix to the front; the wrapped committed-context
+                # frames land beyond (length - ctx) and are masked out
+                lp = jnp.roll(lp, -ctx, axis=1)
+                return ctc_prefix_beam_device(
+                    lp, length - ctx, beam, max_len,
+                    blank=self.vocab.blank_id, sos=self.vocab.sos_id,
+                    eos=self.vocab.eos_id, lm=lm, lm_weight=lm_weight,
+                )
+
+            self._tail_beam = _tail_beam
+
     def feed(self, frames: np.ndarray) -> str:
         """Append [N, H, W, 3] uint8 frames; returns the current transcript.
 
@@ -222,8 +253,19 @@ class StreamingTranscriber:
         while len(self._buf) > self.window:
             self._commit_from_window()
         T = len(self._buf)
-        path = self._path(T)
-        tail = self.vocab.decode_ctc_greedy(path[self._ctx:])
+        if self._tail_beam is not None and T > self._ctx:
+            W = self.window
+            win = np.stack(self._buf[:T])
+            if T < W:
+                win = np.pad(win, ((0, W - T), (0, 0), (0, 0)))
+            ids, n = self._tail_beam(
+                jnp.asarray(win[None]), jnp.asarray([T], np.int32),
+                jnp.asarray(self._ctx, np.int32),
+            )
+            tail = self.vocab.decode(np.asarray(ids)[0, : int(n[0])])
+        else:
+            path = self._path(T)
+            tail = self.vocab.decode_ctc_greedy(path[self._ctx:])
         self.hypothesis = self.committed + tail
 
     def finish(self) -> str:

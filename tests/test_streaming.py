@@ -155,3 +155,38 @@ def test_tracked_stream_skips_cutaway(assets):
     corrupted = run(frames)
     assert cer(corrupted, clean) < 0.15, (corrupted, clean)
     assert cer(clean, clip.text) < 0.15, (clean, clip.text)
+
+
+@pytest.mark.slow
+def test_streaming_beam_tail(assets):
+    """beam>1 decodes the live tail with the device CTC prefix beam
+    (alignment commits stay greedy); quality is no worse than the greedy
+    tail on an in-distribution stream."""
+    from lipreading_tpu.fixtures import make_clip
+    from lipreading_tpu.metrics import cer
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+    from lipreading_tpu.preproc_training import load_release_model
+    from lipreading_tpu.streaming import StreamingTranscriber
+
+    rel = load_release_model()
+    if rel is None:
+        pytest.skip("no release checkpoint in assets/")
+    params, cfg = rel
+    det_np, ert_np = assets
+    det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+
+    clips = [make_clip(8801 + i, cfg.data) for i in range(2)]
+    frames = np.concatenate([c.frames for c in clips])
+    truth = " ".join(c.text for c in clips)
+
+    outs = {}
+    for beam in (1, 4):
+        st = StreamingTranscriber(params, cfg, det, ert, window=64,
+                                  decode_every=16, chunk_bucket=16,
+                                  beam=beam)
+        for lo in range(0, frames.shape[0], 16):
+            st.feed(frames[lo:lo + 16])
+        outs[beam] = st.finish()
+    assert cer(outs[4], truth) <= cer(outs[1], truth) + 0.02, outs
+    assert cer(outs[4], truth) < 0.15, outs
