@@ -41,10 +41,11 @@ def test_release_model_heldout_cer(assets):
 
 def test_universal_release_covers_both_appearances():
     """The universal release (ONE model for canonical AND styled clips,
-    trained on per-clip variation in [0, 0.7) behind the robust stack) must
-    lip-read held-out clips of BOTH appearances. Measured at export (TPU,
-    beam 8 + LM, 12 clips): canonical CER 0.0000, styled(0.6) CER 0.0523 —
-    this CPU gate uses 2+2 clips, greedy, as a drift pin."""
+    trained on per-clip variation in [0, 0.7) behind the robust stack; v2 =
+    1800 merged clips / 16k steps) must lip-read held-out clips of BOTH
+    appearances. Measured at export (TPU, beam 8 + LM, 12 clips): canonical
+    CER 0.0058, styled(0.6) CER 0.0233 (v1: 0.0000 / 0.0523) — this CPU
+    gate uses 2+2 clips, greedy, as a drift pin."""
     import jax.numpy as jnp
 
     from lipreading_tpu.fixtures import make_clip
