@@ -157,9 +157,10 @@ def main():
         if rel is not None:
             fparams, fcfg = rel
             Tc = 64
-            # the joint-beam decode is latency-bound: throughput scales ~2x
-            # from B=8 to its B=16 knee (and regresses at B=32) on v5e
-            B = min(frames_all.shape[0] // Tc, 16)
+            # the joint-beam decode is latency-bound: with early-exit
+            # decoding the knee is B=32 on v5e (878 fps vs 771 at B=16;
+            # pre-early-exit B=32 regressed to 510)
+            B = min(frames_all.shape[0] // Tc, 32)
             stack = jnp.asarray(
                 frames_all[: B * Tc].reshape(B, Tc, *frames_all.shape[1:])
             )
