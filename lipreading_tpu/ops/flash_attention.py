@@ -20,11 +20,25 @@ agree to ~2e-3 on fp32 inputs — under
 production bf16 activation dtype to one bf16 ulp (7.8e-3). CPU (CI) is
 exact either way.
 
-Autodiff: forward runs the Pallas kernel; the backward pass recomputes
-attention with the XLA einsum formulation (rematerialization — nothing is
-saved but q/k/v), so training through it is exact while the forward memory
-win is kept. A fused Pallas backward is a further step if encoder training
-at very long T ever dominates.
+Autodiff: forward runs the Pallas kernel and additionally emits the per-row
+logsumexp. TWO backward implementations exist, selected by ``bwd``:
+
+* ``"xla"`` — recompute attention with the einsum formulation and jax.vjp
+  through it (rematerialization: nothing saved but q/k/v). The [T, T]
+  score matrix exists transiently in the backward. Fastest on v5e
+  wherever it fits (T=1024 fwd+bwd: ~2.7 ms).
+* ``"pallas"`` — the standard flash backward: two kernels (dq; dk/dv)
+  rematerialize probabilities blockwise from (q, k, lse), so NO [T, T]
+  buffer exists in training either. At the default 256 blocks it is the
+  same order as einsum where einsum fits (T=1024 fwd+bwd: ~4-7 ms vs
+  ~3 ms; block size dominates — 128 blocks are ~20x slower, pure
+  grid-step overhead), and it is the ONLY option once B·H·T² grad
+  buffers blow HBM: measured at T=16384 (B=2, H=8), einsum fails to
+  compile (HBM OOM) while the Pallas pair runs fwd+bwd in ~0.3 s.
+* ``"auto"`` (default) — "xla" below T=2048, "pallas" at/above.
+
+Parity vs jax.vjp of the einsum formulation is test-pinned for both
+(values and all three gradients; CPU exact, TPU rel ~4e-5 at highest).
 """
 
 from __future__ import annotations
@@ -44,53 +58,87 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int,
-                  heads: int, scale: float):
-    """One grid program: one (batch*head, q-block) pair.
+def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                  m_sc, l_sc, acc_sc, *, heads: int, scale: float):
+    """One grid program: one (batch*head, q-block, k-block) step.
 
-    q_ref: [1, Bq, D]; k_ref/v_ref: [1, T, D]; o_ref: [1, Bq, D].
-    len_ref: scalar-prefetch [B] valid key lengths.
+    The k axis lives in the GRID, so k/v stream through VMEM one
+    [1, Bk, D] block at a time (the pipeline double-buffers them) and the
+    online-softmax state rides in VMEM scratch across the k steps — VMEM
+    use is O(block) regardless of T, unlike the earlier full-length-k/v
+    version which hit the VMEM cap near T=8192.
+
+    q_ref/o_ref: [1, Bq, D] (revisited across k steps; written at the
+    last). len_ref: scalar-prefetch [B] valid key lengths. lse_ref
+    (training forward only): [1, Bq, 128] logsumexp, lane-broadcast.
     """
-    bh = pl.program_id(0)
+    bh, kj = pl.program_id(0), pl.program_id(2)
+    nk = pl.num_programs(2)
     length = len_ref[bh // heads]
     Bq, D = q_ref.shape[1], q_ref.shape[2]
-    T = k_ref.shape[1]
-    nk = T // block_k
+    Bk = k_ref.shape[1]
+
+    @pl.when(kj == 0)
+    def _():
+        m_sc[:] = jnp.full_like(m_sc, NEG_INF)
+        l_sc[:] = jnp.zeros_like(l_sc)
+        acc_sc[:] = jnp.zeros_like(acc_sc)
 
     q = q_ref[0].astype(jnp.float32)                       # [Bq, D]
+    k_blk = k_ref[0].astype(jnp.float32)                   # [Bk, D]
+    v_blk = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                              # [Bq, Bk]
+    kpos = kj * Bk + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 1)
+    s = jnp.where(kpos < length, s, NEG_INF)
+    m = m_sc[:, :1]                                        # [Bq, 1]
+    m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m - m_new)
+    l = l_sc[:, :1] * corr + p.sum(axis=-1, keepdims=True)
+    acc_sc[:] = acc_sc[:] * corr + jax.lax.dot_general(
+        p, v_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_sc[:] = jnp.broadcast_to(m_new, m_sc.shape)
+    l_sc[:] = jnp.broadcast_to(l, l_sc.shape)
 
-    def body(j, carry):
-        m, l, acc = carry
-        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                                          # [Bq, Bk]
-        kpos = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (Bq, block_k), 1
-        )
-        s = jnp.where(kpos < length, s, NEG_INF)
-        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m - m_new)
-        l = l * corr + p.sum(axis=-1, keepdims=True)
-        acc = acc * corr + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l, acc
+    @pl.when(kj == nk - 1)
+    def _():
+        l_fin = l_sc[:, :1]
+        o_ref[0] = (acc_sc[:] / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse = m_sc[:, :1] + jnp.log(jnp.maximum(l_fin, 1e-30))
+            lse_ref[0] = jnp.broadcast_to(lse, (Bq, lse_ref.shape[2]))
 
-    m0 = jnp.full((Bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((Bq, 1), jnp.float32)
-    acc0 = jnp.zeros((Bq, D), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+def _pad_geometry(T: int, Dh: int, block_q: int, block_k: int):
+    Dp = max(128, -(-Dh // 128) * 128)
+    bq = min(block_q, max(8, -(-T // 8) * 8))
+    Tp = -(-T // max(bq, block_k)) * max(bq, block_k)
+    Tp = -(-Tp // bq) * bq
+    Tp = -(-Tp // block_k) * block_k
+    return Dp, bq, Tp
+
+
+def _prep(x, Tp, Dp):
+    """[B, T, H, Dh] -> zero-padded [B*H, Tp, Dp]."""
+    B, T, H, Dh = x.shape
+    x = jnp.moveaxis(x, 2, 1).reshape(B * H, T, Dh)
+    return jnp.pad(x, ((0, 0), (0, Tp - T), (0, Dp - Dh)))
+
+
+def _unprep(x, B, T, H, Dh):
+    """[B*H, Tp, Dp] -> [B, T, H, Dh]."""
+    return jnp.moveaxis(x[:, :T, :Dh].reshape(B, H, T, Dh), 1, 2)
 
 
 def _flash_fwd_impl(q, k, v, lengths, block_q: int, block_k: int,
-                    interpret: bool | None):
-    """q/k/v: [B, T, H, Dh]; lengths: [B]. Returns [B, T, H, Dh]."""
+                    interpret: bool | None, return_lse: bool = False):
+    """q/k/v: [B, T, H, Dh]; lengths: [B]. Returns [B, T, H, Dh]
+    (+ lse [B*H, Tp] when return_lse — the training forward)."""
     B, T, H, Dh = q.shape
     scale = 1.0 / math.sqrt(Dh)
     if interpret is None:
@@ -99,37 +147,227 @@ def _flash_fwd_impl(q, k, v, lengths, block_q: int, block_k: int,
     # pad the head dim to the 128-lane tile (zero q/k columns leave scores
     # unchanged; zero v columns are sliced off) and T to the block size
     # (padded keys are masked off by `lengths`; padded q rows are sliced)
-    Dp = max(128, -(-Dh // 128) * 128)
-    bq = min(block_q, max(8, -(-T // 8) * 8))
-    Tp = -(-T // max(bq, block_k)) * max(bq, block_k)
-    Tp = -(-Tp // bq) * bq
-    Tp = -(-Tp // block_k) * block_k
+    Dp, bq, Tp = _pad_geometry(T, Dh, block_q, block_k)
+    bk = min(block_k, Tp)
+    qf, kf, vf = _prep(q, Tp, Dp), _prep(k, Tp, Dp), _prep(v, Tp, Dp)
 
-    def prep(x):
-        x = jnp.moveaxis(x, 2, 1).reshape(B * H, T, Dh)    # [BH, T, Dh]
-        return jnp.pad(x, ((0, 0), (0, Tp - T), (0, Dp - Dh)))
-
-    qf, kf, vf = prep(q), prep(k), prep(v)
-
+    qblk = lambda bh, qi, kj, *_: (bh, qi, 0)
+    kblk = lambda bh, qi, kj, *_: (bh, kj, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B * H, Tp // bq),
+        grid=(B * H, Tp // bq, Tp // bk),
         in_specs=[
-            pl.BlockSpec((1, bq, Dp), lambda bh, qi, *_: (bh, qi, 0)),
-            pl.BlockSpec((1, Tp, Dp), lambda bh, qi, *_: (bh, 0, 0)),
-            pl.BlockSpec((1, Tp, Dp), lambda bh, qi, *_: (bh, 0, 0)),
+            pl.BlockSpec((1, bq, Dp), qblk),
+            pl.BlockSpec((1, bk, Dp), kblk),
+            pl.BlockSpec((1, bk, Dp), kblk),
         ],
-        out_specs=pl.BlockSpec((1, bq, Dp), lambda bh, qi, *_: (bh, qi, 0)),
+        out_specs=[pl.BlockSpec((1, bq, Dp), qblk)] + (
+            [pl.BlockSpec((1, bq, 128), qblk)] if return_lse else []
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),    # running max
+            pltpu.VMEM((bq, 128), jnp.float32),    # running denominator
+            pltpu.VMEM((bq, Dp), jnp.float32),     # output accumulator
+        ],
     )
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, heads=H,
-                          scale=scale),
+    out_shape = [jax.ShapeDtypeStruct((B * H, Tp, Dp), q.dtype)] + (
+        [jax.ShapeDtypeStruct((B * H, Tp, 128), jnp.float32)]
+        if return_lse else []
+    )
+    if return_lse:
+        kern = functools.partial(_flash_kernel, heads=H, scale=scale)
+    else:
+        # separate arity (no lse_ref) so the inference forward writes no
+        # extra HBM
+        kern = functools.partial(
+            lambda lr, qr, kr, vr, orf, m, l, a, **kw: _flash_kernel(
+                lr, qr, kr, vr, orf, None, m, l, a, **kw
+            ), heads=H, scale=scale,
+        )
+    res = pl.pallas_call(
+        kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B * H, Tp, Dp), q.dtype),
+        out_shape=out_shape,
         interpret=interpret,
     )(lengths.astype(jnp.int32), qf, kf, vf)
-    out = out[:, :T, :Dh].reshape(B, H, T, Dh)
-    return jnp.moveaxis(out, 1, 2)                         # [B, T, H, Dh]
+    out = _unprep(res[0], B, T, H, Dh)
+    if return_lse:
+        return out, res[1][:, :, 0]                        # [BH, Tp]
+    return out
+
+
+def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, dd_ref, lse_ref,
+                   dq_ref, acc_sc, *, heads: int, scale: float):
+    """dq over grid (batch*head, q-block, k-block):
+    dq = sum_j (p_j*(dp_j - D)) @ k_j — k/v stream per grid step, the
+    accumulator rides VMEM scratch, dq written at the last k step.
+
+    q/do/dq: [1, Bq, D]; k/v: [1, Bk, D]; dd_ref/lse_ref: [1, Bq, 128]
+    (per-row delta = rowsum(dO*O) and logsumexp, broadcast over lanes)."""
+    bh, kj = pl.program_id(0), pl.program_id(2)
+    nk = pl.num_programs(2)
+    length = len_ref[bh // heads]
+    Bq = q_ref.shape[1]
+    Bk = k_ref.shape[1]
+
+    @pl.when(kj == 0)
+    def _():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]                                # [Bq, 1]
+    delta = dd_ref[0][:, :1]                               # [Bq, 1]
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    kpos = kj * Bk + jax.lax.broadcasted_iota(jnp.int32, (Bq, Bk), 1)
+    s = jnp.where(kpos < length, s, NEG_INF)
+    p = jnp.exp(s - lse)                                   # [Bq, Bk]
+    dp = jax.lax.dot_general(
+        do, v_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    acc_sc[:] = acc_sc[:] + jax.lax.dot_general(
+        ds, k_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kj == nk - 1)
+    def _():
+        dq_ref[0] = (acc_sc[:] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(len_ref, q_ref, do_ref, dd_ref, lse_ref, k_ref, v_ref,
+                    dk_ref, dv_ref, dk_sc, dv_sc, *, heads: int,
+                    scale: float):
+    """dk/dv over grid (batch*head, k-block, q-block):
+    dv = sum_i p_i^T @ dO_i;  dk = sum_i (p_i*(dp_i - D_i))^T @ q_i —
+    q/do/delta/lse stream per grid step, accumulators ride VMEM scratch.
+
+    k/v/dk/dv: [1, Bk, D]; q/do: [1, Bq, D]; dd/lse: [1, Bq, 128]."""
+    bh, kj, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nq = pl.num_programs(2)
+    length = len_ref[bh // heads]
+    Bk = k_ref.shape[1]
+
+    @pl.when(qi == 0)
+    def _():
+        dk_sc[:] = jnp.zeros_like(dk_sc)
+        dv_sc[:] = jnp.zeros_like(dv_sc)
+
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    kpos = kj * Bk + jax.lax.broadcasted_iota(jnp.int32, (1, Bk), 1)
+    kvalid = kpos < length                                 # [1, Bk]
+    q_blk = q_ref[0].astype(jnp.float32)
+    do_blk = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]                                # [Bq, 1]
+    delta = dd_ref[0][:, :1]
+    s = jax.lax.dot_general(
+        q_blk, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                              # [Bq, Bk]
+    s = jnp.where(kvalid, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dv_sc[:] = dv_sc[:] + jax.lax.dot_general(
+        p, do_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # [Bk, D]
+    dp = jax.lax.dot_general(
+        do_blk, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    dk_sc[:] = dk_sc[:] + jax.lax.dot_general(
+        ds, q_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0] = (dk_sc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, lengths, out, lse, g, block_q: int,
+                    block_k: int, interpret: bool | None):
+    """Blockwise backward. lse: [B*H, Tp] from the training forward."""
+    B, T, H, Dh = q.shape
+    scale = 1.0 / math.sqrt(Dh)
+    if interpret is None:
+        interpret = _interpret()
+    Dp, bq, Tp = _pad_geometry(T, Dh, block_q, block_k)
+    qf, kf, vf = _prep(q, Tp, Dp), _prep(k, Tp, Dp), _prep(v, Tp, Dp)
+    of, gf = _prep(out, Tp, Dp), _prep(g, Tp, Dp)
+    # delta = rowsum(dO * O): cheap elementwise-reduce, XLA fuses it; both
+    # it and lse ride as [BH, Tp, 128] lane-broadcast blocks
+    delta = (gf * of).sum(axis=-1)                         # [BH, Tp]
+    ddf = jnp.broadcast_to(delta[:, :, None], (B * H, Tp, 128))
+    lsef = jnp.broadcast_to(lse[:, :, None], (B * H, Tp, 128))
+
+    bk = min(block_k, Tp)
+    qblk = lambda bh, qi, kj, *_: (bh, qi, 0)   # dq grid: (bh, q, k)
+    kblk = lambda bh, qi, kj, *_: (bh, kj, 0)
+    lens = lengths.astype(jnp.int32)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, heads=H, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B * H, Tp // bq, Tp // bk),
+            in_specs=[
+                pl.BlockSpec((1, bq, Dp), qblk),    # q
+                pl.BlockSpec((1, bk, Dp), kblk),    # k (streamed)
+                pl.BlockSpec((1, bk, Dp), kblk),    # v (streamed)
+                pl.BlockSpec((1, bq, Dp), qblk),    # dO
+                pl.BlockSpec((1, bq, 128), qblk),   # delta
+                pl.BlockSpec((1, bq, 128), qblk),   # lse
+            ],
+            out_specs=pl.BlockSpec((1, bq, Dp), qblk),
+            scratch_shapes=[pltpu.VMEM((bq, Dp), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, Tp, Dp), q.dtype),
+        interpret=interpret,
+    )(lens, qf, kf, vf, gf, ddf, lsef)
+
+    kblk2 = lambda bh, kj, qi, *_: (bh, kj, 0)  # dkv grid: (bh, k, q)
+    qblk2 = lambda bh, kj, qi, *_: (bh, qi, 0)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, heads=H, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B * H, Tp // bk, Tp // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, Dp), qblk2),   # q (streamed)
+                pl.BlockSpec((1, bq, Dp), qblk2),   # dO (streamed)
+                pl.BlockSpec((1, bq, 128), qblk2),  # delta (streamed)
+                pl.BlockSpec((1, bq, 128), qblk2),  # lse (streamed)
+                pl.BlockSpec((1, bk, Dp), kblk2),   # k
+                pl.BlockSpec((1, bk, Dp), kblk2),   # v
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bk, Dp), kblk2),
+                pl.BlockSpec((1, bk, Dp), kblk2),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bk, Dp), jnp.float32),
+                pltpu.VMEM((bk, Dp), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Tp, Dp), k.dtype),
+            jax.ShapeDtypeStruct((B * H, Tp, Dp), v.dtype),
+        ],
+        interpret=interpret,
+    )(lens, qf, gf, ddf, lsef, kf, vf)
+
+    return (_unprep(dq, B, T, H, Dh), _unprep(dk, B, T, H, Dh),
+            _unprep(dv, B, T, H, Dh))
 
 
 def _reference_attend(q, k, v, lengths):
@@ -142,24 +380,40 @@ def _reference_attend(q, k, v, lengths):
     return jnp.einsum("bhqk,bkhd->bqhd", w, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def flash_attention(q, k, v, lengths, block_q: int = 128, block_k: int = 128,
-                    interpret: bool | None = None):
+PALLAS_BWD_MIN_T = 2048     # auto policy: einsum bwd fits & wins below this
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def flash_attention(q, k, v, lengths, block_q: int = 256, block_k: int = 256,
+                    interpret: bool | None = None, bwd: str = "auto"):
     """Length-masked non-causal multi-head attention, O(T·Dh) memory.
 
     q, k, v: [B, T, H, Dh]; lengths: [B] valid key counts. Returns
     [B, T, H, Dh] in q's dtype. Drop-in for the encoder's mha core.
+    ``bwd``: backward implementation — "xla" (einsum remat), "pallas"
+    (blockwise, no [T, T] buffer), "auto" (see module docstring).
     """
     return _flash_fwd_impl(q, k, v, lengths, block_q, block_k, interpret)
 
 
-def _flash_fwd(q, k, v, lengths, block_q, block_k, interpret):
+def _flash_fwd(q, k, v, lengths, block_q, block_k, interpret, bwd):
+    use_pallas = bwd == "pallas" or (
+        bwd == "auto" and q.shape[1] >= PALLAS_BWD_MIN_T
+    )
+    if use_pallas:
+        out, lse = _flash_fwd_impl(q, k, v, lengths, block_q, block_k,
+                                   interpret, return_lse=True)
+        return out, (q, k, v, lengths, out, lse)
     out = _flash_fwd_impl(q, k, v, lengths, block_q, block_k, interpret)
-    return out, (q, k, v, lengths)
+    return out, (q, k, v, lengths, None, None)
 
 
-def _flash_bwd(block_q, block_k, interpret, res, g):
-    q, k, v, lengths = res
+def _flash_bwd(block_q, block_k, interpret, bwd, res, g):
+    q, k, v, lengths, out, lse = res
+    if lse is not None:
+        dq, dk, dv = _flash_bwd_impl(q, k, v, lengths, out, lse, g, block_q,
+                                     block_k, interpret)
+        return dq, dk, dv, None
     _, vjp = jax.vjp(_reference_attend, q, k, v, lengths)
     dq, dk, dv, _ = vjp(g)
     return dq, dk, dv, None

@@ -49,7 +49,8 @@ def test_flash_gradients_match():
     w = jnp.asarray(np.random.default_rng(9).normal(0, 1, q.shape), jnp.float32)
 
     def loss_flash(q, k, v):
-        return (flash_attention(q, k, v, ln, block_q=8, block_k=8) * w).sum()
+        return (flash_attention(q, k, v, ln, block_q=8, block_k=8,
+                                bwd="pallas") * w).sum()
 
     def loss_ref(q, k, v):
         return (_reference_attend(q, k, v, ln) * w).sum()
@@ -59,6 +60,28 @@ def test_flash_gradients_match():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_flash_gradients_match_odd_shapes():
+    """Backward kernels under padding: T not a block multiple, Dh < 128,
+    default block sizes, ragged lengths."""
+    q, k, v = _qkv(B=2, T=13, H=3, Dh=8, seed=5)
+    ln = jnp.asarray([13, 7], jnp.int32)
+    w = jnp.asarray(np.random.default_rng(11).normal(0, 1, q.shape),
+                    jnp.float32)
+
+    def loss_ref(q, k, v):
+        return (_reference_attend(q, k, v, ln) * w).sum()
+
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for bwd in ("xla", "pallas"):
+        def loss_flash(q, k, v):
+            return (flash_attention(q, k, v, ln, bwd=bwd) * w).sum()
+
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
 
 
 def _enc_setup(seed=0):
