@@ -50,11 +50,26 @@ def main(argv):
         from lipreading_tpu.ops.ert import model_to_jax
         from lipreading_tpu.preproc_training import load_assets
 
-        det_np, ert_np = load_assets()
+        det_np, ert_np = load_assets(variant=assets_variant)
+        lmk = model_to_jax(ert_np)
+        if cfg.preprocess.landmarker == "conv":
+            # the fused step's landmark stage runs the distilled conv
+            # landmarker instead of the ERT cascade (ops/landmarker.py)
+            from lipreading_tpu.ops.landmarker import (
+                params_to_jax as lmk_to_jax,
+            )
+            from lipreading_tpu.preproc_training import load_landmarker
+
+            lm_np = load_landmarker(variant=assets_variant)
+            if lm_np is None:
+                raise SystemExit(
+                    f"preprocess.landmarker=conv but no conv landmarker "
+                    f"asset for variant {assets_variant!r}"
+                )
+            lmk = lmk_to_jax(lm_np)
         ds = FixtureVideoDataset(n_clips, seed=data_seed, cfg=cfg.data)
         it = VideoBatchIterator(ds, cfg.data.batch_size, seed=cfg.train.seed)
-        trainer = FusedTrainer(cfg, workdir, params_to_jax(det_np),
-                               model_to_jax(ert_np))
+        trainer = FusedTrainer(cfg, workdir, params_to_jax(det_np), lmk)
         heldout = FixtureVideoDataset(4, seed=data_seed + 999_983, cfg=cfg.data)
         eval_batches = [heldout.batch(list(range(min(8, len(heldout)))),
                                       max(cfg.data.time_buckets))]
