@@ -61,13 +61,12 @@ def main():
     # optional: the distilled conv-landmarker preprocessing path
     conv_fps = None
     try:
-        from lipreading_tpu.config import PreprocessConfig as _PC
         from lipreading_tpu.ops.landmarker import params_to_jax as lmk_to_jax
         from lipreading_tpu.preproc_training import load_landmarker
 
         lm_np = load_landmarker()
         if lm_np is not None:
-            conv_cfg = _PC(landmarker="conv")
+            conv_cfg = PreprocessConfig(landmarker="conv")
             lmj = lmk_to_jax(lm_np)
 
             @jax.jit

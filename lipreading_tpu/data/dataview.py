@@ -268,9 +268,17 @@ def merge_dataviews(out_dir: str, paths: list[str]) -> Dataview:
     otherwise; ids are prefixed ``dNN_`` per source view so clip identities
     stay distinct across sources (split_by_clip keeps a source clip's cue
     and full samples together). Metas must agree on roi_size/normalization
-    (fps may differ — it is informational after preprocessing)."""
+    (fps may differ — it is informational after preprocessing).
+
+    Stale destination files are replaced (re-merging into the same out_dir
+    with different sources is safe). Hard-link caveat: REGENERATING a
+    source view in place after merging mutates the shared inodes and
+    therefore the merged corpus — rebuild the merge (or the source into a
+    fresh directory) instead."""
     import shutil
 
+    if not paths:
+        raise ValueError("merge_dataviews needs at least one source view")
     os.makedirs(out_dir, exist_ok=True)
     views = [Dataview(p) for p in paths]
     meta = dict(views[0].meta)
@@ -286,11 +294,15 @@ def merge_dataviews(out_dir: str, paths: list[str]) -> Dataview:
             fname = f"d{vi:02d}_{s['file']}"
             src = os.path.join(v.path, s["file"])
             dst = os.path.join(out_dir, fname)
-            if not os.path.exists(dst):
-                try:
-                    os.link(src, dst)
-                except OSError:
-                    shutil.copyfile(src, dst)
+            # always replace: a leftover dst from a previous merge of
+            # DIFFERENT sources would silently pair this index entry with
+            # stale ROI bytes
+            if os.path.exists(dst):
+                os.unlink(dst)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copyfile(src, dst)
             entries.append(dict(s, file=fname))
     with open(os.path.join(out_dir, "index.json"), "w") as f:
         json.dump({"meta": meta, "samples": entries}, f, indent=1)

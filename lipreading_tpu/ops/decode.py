@@ -20,6 +20,39 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def early_exit_scan(body, carry, finished_of, bufs, max_len: int):
+    """Run a scan-like ``body`` under lax.while_loop, stopping once every
+    row is finished.
+
+    ``body(carry, None) -> (carry, ys)`` with ys a tuple matching ``bufs``
+    (each buf is a prefilled [max_len, ...] array); ``finished_of(carry)``
+    -> bool array. The decode loops are latency-bound and typical
+    hypotheses finish well before max_len; correctness requires the caller
+    to PREFILL bufs with exactly what the skipped steps would have written
+    — for the beam searches that is eos tokens + identity backpointers
+    (post-finish steps emit eos on every beam with an identity permutation:
+    scores already sorted, eos adds 0.0, lax.top_k is stable), for greedy
+    just eos. Returns (carry, bufs)."""
+
+    def w_cond(c):
+        t, carry, _ = c
+        return (t < max_len) & ~finished_of(carry).all()
+
+    def w_body(c):
+        t, carry, bufs = c
+        carry, ys = body(carry, None)
+        bufs = tuple(
+            jax.lax.dynamic_update_index_in_dim(b, y, t, 0)
+            for b, y in zip(bufs, ys)
+        )
+        return t + 1, carry, bufs
+
+    _, carry, bufs = jax.lax.while_loop(
+        w_cond, w_body, (jnp.int32(0), carry, tuple(bufs))
+    )
+    return carry, bufs
+
+
 def ctc_greedy_ids(logits: jnp.ndarray, lengths: jnp.ndarray, blank: int = 0):
     """[B, T, V] logits -> (ids [B, T], out_lengths [B]) collapsed on device.
 
@@ -48,27 +81,14 @@ def greedy_decode(step_fn, state, batch: int, max_len: int, sos: int, eos: int):
         nxt = jnp.where(finished, eos, nxt)
         finished2 = finished | (nxt == eos)
         length = length + (~finished).astype(jnp.int32)
-        return (state, nxt, finished2, length), nxt
+        return (state, nxt, finished2, length), (nxt,)
 
     tok0 = jnp.full((batch,), sos, jnp.int32)
     fin0 = jnp.zeros((batch,), bool)
     len0 = jnp.zeros((batch,), jnp.int32)
-    # early exit once every row is finished (decode is latency-bound; the
-    # skipped steps would only re-emit eos — buffer prefilled accordingly)
-    toks_buf0 = jnp.full((max_len, batch), eos, jnp.int32)
-
-    def w_cond(c):
-        t, (_, _, finished, _), _ = c
-        return (t < max_len) & ~finished.all()
-
-    def w_body(c):
-        t, state, toks_buf = c
-        state, tok_t = body(state, None)
-        return (t + 1, state,
-                jax.lax.dynamic_update_index_in_dim(toks_buf, tok_t, t, 0))
-
-    _, (_, _, _, lengths), toks = jax.lax.while_loop(
-        w_cond, w_body, (jnp.int32(0), (state, tok0, fin0, len0), toks_buf0)
+    (_, _, _, lengths), (toks,) = early_exit_scan(
+        body, (state, tok0, fin0, len0), lambda c: c[2],
+        (jnp.full((max_len, batch), eos, jnp.int32),), max_len,
     )
     ids = jnp.moveaxis(toks, 0, 1)                          # [B, max_len]
     # mask everything after (and including) eos
@@ -131,30 +151,16 @@ def beam_search(
     toks0 = jnp.full((batch, beam), sos, jnp.int32)
     fin0 = jnp.zeros((batch, beam), bool)
     len0 = jnp.zeros((batch, beam), jnp.int32)
-    # early exit once every beam is finished: the skipped scan steps would
-    # emit eos on every beam with an identity permutation (scores sorted,
-    # eos costs 0.0, lax.top_k stable) — prefill the buffers with exactly
-    # that and the backtrack/selection below is unchanged
+    # early-exit buffers: eos tokens + identity backpointers (see
+    # early_exit_scan — exactly what the skipped steps would write), so the
+    # backtrack/selection below is unchanged
     toks_buf0 = jnp.full((max_len, batch, beam), eos, jnp.int32)
     srcs_buf0 = jnp.tile(
         jnp.arange(beam, dtype=jnp.int32)[None, None], (max_len, batch, 1)
     )
-
-    def w_cond(c):
-        t, (_, _, _, finished, _), _, _ = c
-        return (t < max_len) & ~finished.all()
-
-    def w_body(c):
-        t, state, toks_buf, srcs_buf = c
-        state, (tok_t, src_t) = body(state, None)
-        toks_buf = jax.lax.dynamic_update_index_in_dim(toks_buf, tok_t, t, 0)
-        srcs_buf = jax.lax.dynamic_update_index_in_dim(srcs_buf, src_t, t, 0)
-        return t + 1, state, toks_buf, srcs_buf
-
-    _, (state, scores, _, finished, lengths), toks, srcs = jax.lax.while_loop(
-        w_cond, w_body,
-        (jnp.int32(0), (init_state, scores0, toks0, fin0, len0),
-         toks_buf0, srcs_buf0),
+    (state, scores, _, finished, lengths), (toks, srcs) = early_exit_scan(
+        body, (init_state, scores0, toks0, fin0, len0), lambda c: c[3],
+        (toks_buf0, srcs_buf0), max_len,
     )
     # backtrack: follow src_beam pointers from the final beams to t=0
     def backtrack(carry, xs):

@@ -115,12 +115,17 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _pad_geometry(T: int, Dh: int, block_q: int, block_k: int):
+    """Clamp BOTH block sizes to the (8-aligned) sequence before rounding
+    Tp, so a short encoder sequence (T=64) is not padded out to a large
+    default block (256) and burned as masked work."""
     Dp = max(128, -(-Dh // 128) * 128)
-    bq = min(block_q, max(8, -(-T // 8) * 8))
-    Tp = -(-T // max(bq, block_k)) * max(bq, block_k)
+    t8 = max(8, -(-T // 8) * 8)
+    bq = min(block_q, t8)
+    bk = min(block_k, t8)
+    Tp = -(-T // max(bq, bk)) * max(bq, bk)
     Tp = -(-Tp // bq) * bq
-    Tp = -(-Tp // block_k) * block_k
-    return Dp, bq, Tp
+    Tp = -(-Tp // bk) * bk
+    return Dp, bq, bk, Tp
 
 
 def _prep(x, Tp, Dp):
@@ -147,8 +152,7 @@ def _flash_fwd_impl(q, k, v, lengths, block_q: int, block_k: int,
     # pad the head dim to the 128-lane tile (zero q/k columns leave scores
     # unchanged; zero v columns are sliced off) and T to the block size
     # (padded keys are masked off by `lengths`; padded q rows are sliced)
-    Dp, bq, Tp = _pad_geometry(T, Dh, block_q, block_k)
-    bk = min(block_k, Tp)
+    Dp, bq, bk, Tp = _pad_geometry(T, Dh, block_q, block_k)
     qf, kf, vf = _prep(q, Tp, Dp), _prep(k, Tp, Dp), _prep(v, Tp, Dp)
 
     qblk = lambda bh, qi, kj, *_: (bh, qi, 0)
@@ -301,7 +305,7 @@ def _flash_bwd_impl(q, k, v, lengths, out, lse, g, block_q: int,
     scale = 1.0 / math.sqrt(Dh)
     if interpret is None:
         interpret = _interpret()
-    Dp, bq, Tp = _pad_geometry(T, Dh, block_q, block_k)
+    Dp, bq, bk, Tp = _pad_geometry(T, Dh, block_q, block_k)
     qf, kf, vf = _prep(q, Tp, Dp), _prep(k, Tp, Dp), _prep(v, Tp, Dp)
     of, gf = _prep(out, Tp, Dp), _prep(g, Tp, Dp)
     # delta = rowsum(dO * O): cheap elementwise-reduce, XLA fuses it; both
@@ -310,7 +314,6 @@ def _flash_bwd_impl(q, k, v, lengths, out, lse, g, block_q: int,
     ddf = jnp.broadcast_to(delta[:, :, None], (B * H, Tp, 128))
     lsef = jnp.broadcast_to(lse[:, :, None], (B * H, Tp, 128))
 
-    bk = min(block_k, Tp)
     qblk = lambda bh, qi, kj, *_: (bh, qi, 0)   # dq grid: (bh, q, k)
     kblk = lambda bh, qi, kj, *_: (bh, kj, 0)
     lens = lengths.astype(jnp.int32)

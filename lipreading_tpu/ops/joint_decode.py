@@ -309,40 +309,22 @@ def joint_beam_search(
     len0 = jnp.zeros((batch, beam), jnp.int32)
     lm_carry = lm_ctx0 if lm_table is not None else jnp.zeros((BW,), jnp.int32)
     lex_carry = jnp.zeros((BW,), jnp.int32)        # DFA root
-    # lax.while_loop with an all-finished early exit instead of a fixed
-    # max_len scan: the decode is latency-bound (48 sequential steps at
-    # bench shapes) and typical transcripts finish in far fewer. Skipped
-    # steps are EXACTLY the steps the scan would have run: once every beam
-    # is finished, each scan step emits eos on every beam with an identity
-    # beam permutation (scores already sorted, eos adds 0.0, lax.top_k is
-    # stable) and changes nothing else — so the buffers are prefilled with
-    # eos tokens and identity backpointers and the backtrack/selection code
+    # all-finished early exit (ops/decode.early_exit_scan): buffers are
+    # prefilled with eos tokens + identity backpointers — exactly what the
+    # skipped post-finish steps would write — so backtrack/selection below
     # is untouched.
+    from lipreading_tpu.ops.decode import early_exit_scan
+
     toks_buf0 = jnp.full((max_len, batch, beam), eos, jnp.int32)
     srcs_buf0 = jnp.tile(
         jnp.arange(beam, dtype=jnp.int32)[None, None], (max_len, batch, 1)
     )
-
-    def w_cond(carry):
-        t, state, toks_buf, srcs_buf = carry
-        finished = state[6]
-        return (t < max_len) & ~finished.all()
-
-    def w_body(carry):
-        t, state, toks_buf, srcs_buf = carry
-        state, (tok_t, src_t) = body(state, None)
-        toks_buf = jax.lax.dynamic_update_index_in_dim(toks_buf, tok_t, t, 0)
-        srcs_buf = jax.lax.dynamic_update_index_in_dim(srcs_buf, src_t, t, 0)
-        return t + 1, state, toks_buf, srcs_buf
-
-    _, (_, _, _, _, scores, _, finished, lengths), toks, srcs = (
-        jax.lax.while_loop(
-            w_cond, w_body,
-            (jnp.int32(0),
-             (att_state, ctc_state, lm_carry, lex_carry, scores0, toks0, fin0,
-              len0),
-             toks_buf0, srcs_buf0),
-        )
+    (_, _, _, _, scores, _, finished, lengths), (toks, srcs) = early_exit_scan(
+        body,
+        (att_state, ctc_state, lm_carry, lex_carry, scores0, toks0, fin0,
+         len0),
+        lambda c: c[6],
+        (toks_buf0, srcs_buf0), max_len,
     )
 
     def backtrack(carry, xs):

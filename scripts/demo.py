@@ -39,6 +39,7 @@ def main(argv):
     assets_variant = args.pop(
         "assets_variant", "robust" if release.endswith("_robust") else "default"
     )
+    overrides = dict(args)
     if args:
         cfg = cfg.override(**args)
 
@@ -74,6 +75,10 @@ def main(argv):
         rel = load_release_model(release)
         if rel is not None:
             params, cfg = rel
+            if overrides:
+                # the release snapshot replaced cfg — re-apply CLI overrides
+                # (preprocess.landmarker=conv etc.) or they'd be discarded
+                cfg = cfg.override(**overrides)
             print(f"using release checkpoint assets/{release}.msgpack")
         else:
             print("WARNING: no checkpoint; transcribing with random weights")

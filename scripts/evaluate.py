@@ -34,6 +34,7 @@ def main(argv):
                               "robust" if variation > 0 else "default")
     dataview_path = args.pop("dataview", None)
     split = args.pop("split", "val")
+    overrides = dict(args)
     if args:
         cfg = cfg.override(**args)
 
@@ -63,6 +64,11 @@ def main(argv):
         rel = load_release_model(release)
         if rel is not None:
             params, cfg = rel
+            if overrides:
+                # the release snapshot replaced cfg — re-apply the user's
+                # CLI overrides or flags like preprocess.landmarker=conv
+                # would be silently discarded on this path
+                cfg = cfg.override(**overrides)
             print(f"using release checkpoint assets/{release}.msgpack")
         else:
             print("WARNING: no checkpoint found; evaluating random init")

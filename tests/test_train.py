@@ -245,3 +245,27 @@ def test_merge_dataviews(dataview, tmp_path):
     )
     with pytest.raises(ValueError, match="roi_size"):
         merge_dataviews(str(tmp_path / "m2"), [dataview.path, bad.path])
+
+
+def test_merge_dataviews_remerge_replaces_stale_files(dataview, tmp_path):
+    """Re-merging different sources into the same out_dir must not pair new
+    index entries with a previous merge's ROI bytes (files are replaced)."""
+    from lipreading_tpu.data.dataview import merge_dataviews
+
+    cfg = tiny_cfg()
+    a = build_fixture_dataview(str(tmp_path / "a"), n_clips=1, seed=91,
+                               data_cfg=cfg.data,
+                               use_ground_truth_landmarks=True)
+    c = build_fixture_dataview(str(tmp_path / "c"), n_clips=1, seed=92,
+                               data_cfg=cfg.data,
+                               use_ground_truth_landmarks=True)
+    out = str(tmp_path / "m")
+    merge_dataviews(out, [a.path])
+    m2 = merge_dataviews(out, [c.path])     # same d00_ prefixed filenames
+    np.testing.assert_array_equal(m2.roi_u8(0), c.roi_u8(0))
+    assert m2.text(0) == c.text(0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        merge_dataviews(str(tmp_path / "m3"), [])
