@@ -92,7 +92,7 @@ def transformer_decoder_flops(cfg: Config, T: int, L: int) -> float:
     D, M = m.tf_dim, m.tf_mlp
     per_layer = (
         4 * _dense(L, D, D) + 2 * (2.0 * L * L * D)        # self-attn
-        + 2 * _dense(L, D, D) + 2 * _dense(T, D, D) / max(T, 1) * 0  # (q below)
+        + 2 * _dense(L, D, D)                              # cross k, v proj
         + 2 * (2.0 * L * T * D)                            # cross scores+v
         + 2 * _dense(L, D, D)                              # cross q, out
         + _dense(L, D, M) + _dense(L, M, D)

@@ -71,6 +71,19 @@ def _load_lexicon():
     return _LM_CACHE["lex"]
 
 
+def _require_eager(x, what: str):
+    """Refuse lazy host-side loads under jit tracing: the file I/O would run
+    at trace time and the loaded tables would be baked in as compile-time
+    constants. Callers that jit decode_ids must resolve the LM/lexicon
+    eagerly and pass them in (streaming.py and _decode_jit do)."""
+    if isinstance(x, jax.core.Tracer):
+        raise ValueError(
+            f"decode_ids: lazy {what} load requested under jit tracing; "
+            f"load it eagerly (infer._load_lm/_load_lexicon) and pass it "
+            f"in explicitly"
+        )
+
+
 def _load_lm():
     """Lazily load the shipped char LM (assets/char_lm.npz).
 
@@ -116,7 +129,8 @@ def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None
             from lipreading_tpu.ops.joint_decode import ctc_prefix_beam_device
 
             if lm is None and lm_weight > 0.0:
-                lm = _load_lm()   # safe only when decode_ids runs eagerly
+                _require_eager(frame_lengths, "LM")
+                lm = _load_lm()
             return ctc_prefix_beam_device(
                 logits, frame_lengths, beam, max_len,
                 blank=vocab.blank_id, sos=vocab.sos_id, eos=vocab.eos_id,
@@ -142,7 +156,8 @@ def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None
         from lipreading_tpu.ops.joint_decode import joint_beam_search
 
         if lm is None and lm_weight > 0.0:
-            lm = _load_lm()   # safe only when decode_ids runs eagerly
+            _require_eager(frame_lengths, "LM")
+            lm = _load_lm()
         ctc_t = jnp.repeat(ctc_logits(params, enc), beam, axis=0)
         return joint_beam_search(
             step, state, ctc_t, len_t, B, beam, max_len,

@@ -126,13 +126,20 @@ def attention_logits(params, cfg: Config, enc, enc_lengths, targets,
     )
 
 
-def cross_entropy_loss(logits, targets_out, target_lengths, pad_id=0):
-    """Masked mean CE. logits [B, L-1, V] vs targets_out = targets[:, 1:]."""
+def cross_entropy_loss(logits, targets_out, target_lengths, pad_id=0,
+                       sample_weight=None):
+    """Masked mean CE. logits [B, L-1, V] vs targets_out = targets[:, 1:].
+
+    ``sample_weight`` [B] (optional) scales each sample's mask — 0.0 drops
+    the sample from both numerator and denominator.
+    """
     L = targets_out.shape[1]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets_out[..., None], axis=-1)[..., 0]
     # positions 0..len-2 of targets_out are real (len counts sos..eos)
     mask = nn.length_mask(target_lengths - 1, L).astype(jnp.float32)
+    if sample_weight is not None:
+        mask = mask * sample_weight.astype(jnp.float32)[:, None]
     return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
@@ -157,13 +164,25 @@ def compute_loss(params, cfg: Config, batch, train: bool = True, rng=None,
                  rng=k_enc, mesh=mesh)
     metrics = {}
     loss = 0.0
+    # optional per-sample weight [B] (0.0 drops a sample from the loss):
+    # the tracked fused step zero-weights samples whose frames ALL failed the
+    # presence gate — their compacted clip is empty and any ROI content is
+    # garbage, so they must not supervise either head
+    sw = batch.get("sample_weight")
     if cfg.decoder in ("ctc", "hybrid"):
         logits = ctc_logits(params, enc)
         nll = ctc_loss_best(
             logits, batch["ctc_labels"], batch["frame_lengths"],
             batch["ctc_lengths"],
         )
-        lc = jnp.mean(nll / jnp.maximum(batch["ctc_lengths"].astype(jnp.float32), 1.0))
+        per = nll / jnp.maximum(batch["ctc_lengths"].astype(jnp.float32), 1.0)
+        if sw is None:
+            lc = jnp.mean(per)
+        else:
+            # where() BEFORE weighting: an infeasible (empty) sample can carry
+            # an inf nll, and 0.0 * inf would poison the mean with NaN
+            per = jnp.where(sw > 0, per, 0.0)
+            lc = per.sum() / jnp.maximum(sw.sum(), 1.0)
         w = t.ctc_weight if cfg.decoder == "hybrid" else 1.0
         loss = loss + w * lc
         metrics["ctc_loss"] = lc
@@ -173,7 +192,7 @@ def compute_loss(params, cfg: Config, batch, train: bool = True, rng=None,
             rng=k_dec,
         )
         la = cross_entropy_loss(att, batch["targets"][:, 1:],
-                                batch["target_lengths"])
+                                batch["target_lengths"], sample_weight=sw)
         w = t.att_weight if cfg.decoder == "hybrid" else 1.0
         loss = loss + w * la
         metrics["att_loss"] = la

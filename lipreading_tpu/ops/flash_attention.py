@@ -9,8 +9,10 @@ full score matrix never exists: memory is O(T * Dh) and the matmuls stay on
 the MXU.
 
 Semantics match models.transformer.mha with a key-validity length mask
-exactly (fp32 softmax, -1e30 masking, invalid query rows degrade to uniform
-attention the same way) — parity is test-pinned against the einsum path.
+exactly (fp32 softmax, -1e30 masking; a fully-masked sample — length==0 —
+emits exact zeros in both the kernel and the einsum reference, rather than
+a padding-dependent uniform average) — parity is test-pinned against the
+einsum path.
 
 Precision (measured on v5e): the kernel's dot_generals follow
 jax.default_matmul_precision like the einsum path does. At the MXU default
@@ -108,7 +110,12 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     @pl.when(kj == nk - 1)
     def _():
         l_fin = l_sc[:, :1]
-        o_ref[0] = (acc_sc[:] / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+        o = acc_sc[:] / jnp.maximum(l_fin, 1e-30)
+        # a fully-masked sample (length==0) would otherwise degrade to a
+        # uniform average over the PADDED Tp keys (off by T/Tp from the
+        # reference's T-key average) — emit exact zeros in both paths instead
+        o = jnp.where(length > 0, o, 0.0)
+        o_ref[0] = o.astype(o_ref.dtype)
         if lse_ref is not None:
             lse = m_sc[:, :1] + jnp.log(jnp.maximum(l_fin, 1e-30))
             lse_ref[0] = jnp.broadcast_to(lse, (Bq, lse_ref.shape[2]))
@@ -380,7 +387,11 @@ def _reference_attend(q, k, v, lengths):
     valid = jnp.arange(T)[None, :] < lengths[:, None]      # [B, T]
     s = jnp.where(valid[:, None, None, :], s.astype(jnp.float32), NEG_INF)
     w = jax.nn.softmax(s, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, v)
+    # zero (not uniform-average) for fully-masked samples — matches the
+    # Pallas kernel's length==0 guard, and the vjp through this gate zeroes
+    # their gradients too
+    return out * (lengths > 0).astype(out.dtype)[:, None, None, None]
 
 
 PALLAS_BWD_MIN_T = 2048     # auto policy: einsum bwd fits & wins below this
@@ -414,6 +425,9 @@ def _flash_fwd(q, k, v, lengths, block_q, block_k, interpret, bwd):
 def _flash_bwd(block_q, block_k, interpret, bwd, res, g):
     q, k, v, lengths, out, lse = res
     if lse is not None:
+        # fully-masked samples emit zeros in the forward; gating g zeroes
+        # their (linear-in-g) dq/dk/dv the same way the einsum vjp does
+        g = g * (lengths > 0).astype(g.dtype)[:, None, None, None]
         dq, dk, dv = _flash_bwd_impl(q, k, v, lengths, out, lse, g, block_q,
                                      block_k, interpret)
         return dq, dk, dv, None

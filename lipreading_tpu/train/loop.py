@@ -334,8 +334,14 @@ class FusedTrainer(Trainer):
                 # label prefix rather than saturating the NLL
                 ctc_l = jnp.minimum(batch["ctc_lengths"],
                                     jnp.maximum((new_len - 1) // 2, 1))
-                mb = dict(batch, rois=rois, frame_lengths=new_len,
-                          ctc_lengths=ctc_l)
+                # a fully-faceless sample compacts to new_len==0; its ROI
+                # content is garbage — zero-weight it out of both heads
+                # (compute_loss sample_weight) instead of letting the clamped
+                # lengths supervise on frame 0
+                sw = (new_len > 0).astype(jnp.float32)
+                mb = dict(batch, rois=rois,
+                          frame_lengths=jnp.maximum(new_len, 1),
+                          ctc_lengths=ctc_l, sample_weight=sw)
             else:
                 rois = preprocess_clips(det, ert, batch["frames"],
                                         cfg.preprocess)
@@ -381,16 +387,31 @@ class FusedTrainer(Trainer):
         return metrics
 
     def evaluate(self, batches, beam=None) -> dict:
-        from lipreading_tpu.ops.preprocess import preprocess_clips
+        from lipreading_tpu.ops.preprocess import (
+            preprocess_clips,
+            preprocess_clips_tracked,
+        )
+        from lipreading_tpu.ops.tracking import compact_valid_frames
 
         hyps, refs = [], []
         for b in batches:
-            rois = preprocess_clips(
-                self._det, self._ert, jnp.asarray(b.frames), self.cfg.preprocess
-            )
+            frames = jnp.asarray(b.frames)
+            lengths = jnp.asarray(b.frame_lengths)
+            if self._tracked:
+                # eval-time preprocessing must match the robust train path:
+                # top-k + presence gating + tracking, then frame compaction
+                rois, valid = preprocess_clips_tracked(
+                    self._det, self._presence, self._ert, frames,
+                    self.cfg.preprocess,
+                )
+                rois, lengths = compact_valid_frames(rois, valid, lengths)
+            else:
+                rois = preprocess_clips(
+                    self._det, self._ert, frames, self.cfg.preprocess
+                )
             hyps.extend(
                 transcribe(self.params, self.cfg, rois,
-                           jnp.asarray(b.frame_lengths), beam=beam,
+                           lengths, beam=beam,
                            vocab=self.vocab)
             )
             refs.extend(b.texts)

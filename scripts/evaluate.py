@@ -94,7 +94,8 @@ def main(argv):
         cfg = _dc.replace(cfg, decoder="ctc")
 
     if dataview_path:
-        evaluate_dataview(params, cfg, dataview_path, split, beam)
+        evaluate_dataview(params, cfg, dataview_path, split, beam,
+                          lm_weight=lm_weight, use_lexicon=use_lexicon)
         return
 
     hyps, refs = [], []
@@ -117,14 +118,16 @@ def main(argv):
           f"WER={corpus_wer(hyps, refs):.4f}")
 
 
-if __name__ == "__main__":
-    main(sys.argv[1:])
+def evaluate_dataview(params, cfg, dataview_path, split, beam,
+                      lm_weight=0.0, use_lexicon=False):
+    """CER/WER over a clip-level split of a cached dataview.
 
-
-def evaluate_dataview(params, cfg, dataview_path, split, beam):
-    """CER/WER over a clip-level split of a cached dataview."""
-    import numpy as np
-
+    Decodes under the SAME knobs as the fixture path (beam / lm_weight /
+    lexicon / cfg.decoder), so dataview-split CER is measurable under the
+    flagship decode config. The ragged tail batch is padded to B by
+    repeating the last sample (keeps one compiled shape) and the duplicate
+    hypotheses are dropped before scoring — no sample silently vanishes.
+    """
     from lipreading_tpu.data.dataset import BucketedDataset, batch_to_device
     from lipreading_tpu.data.dataview import Dataview, split_by_clip
     from lipreading_tpu.infer import transcribe
@@ -143,12 +146,21 @@ def evaluate_dataview(params, cfg, dataview_path, split, beam):
     ds = BucketedDataset(view, cfg.data, indices=idx)
     hyps, refs = [], []
     B = 8
-    for lo in range(0, len(ds) - len(ds) % B, B):
-        b = ds.make_batch(list(range(lo, lo + B)))
+    for lo in range(0, len(ds), B):
+        take = list(range(lo, min(lo + B, len(ds))))
+        n_real = len(take)
+        take += [take[-1]] * (B - n_real)
+        b = ds.make_batch(take)
         dev = batch_to_device(b, cfg.preprocess.normalize_mean,
                               cfg.preprocess.normalize_std)
         hyps.extend(transcribe(params, cfg, dev["rois"],
-                               dev["frame_lengths"], beam=beam))
-        refs.extend(b.texts)
+                               dev["frame_lengths"], beam=beam,
+                               lm_weight=lm_weight,
+                               use_lexicon=use_lexicon)[:n_real])
+        refs.extend(b.texts[:n_real])
     print(f"{split} split: {len(hyps)} samples  "
           f"CER={corpus_cer(hyps, refs):.4f} WER={corpus_wer(hyps, refs):.4f}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

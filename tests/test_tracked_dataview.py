@@ -156,6 +156,64 @@ def test_fused_tracked_train_step(tmp_path, assets):
 
 
 @pytest.mark.slow
+def test_fused_tracked_all_invalid_sample_zero_weighted(tmp_path, assets):
+    """A sample whose frames ALL fail the presence gate (new_len==0) must
+    not supervise the loss (ADVICE r2: the clamped lengths used to read
+    garbage frame 0). Pin: the loss is bit-identical when the faceless
+    sample's pixel content changes."""
+    _need_presence()
+    from lipreading_tpu.data.pipeline import VideoBatch
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+    from lipreading_tpu.train.loop import FusedTrainer
+
+    presence = load_presence()
+    cfg = preset("transformer-attn")
+    cfg.model.frontend_channels = (4, 8, 12)
+    cfg.model.frontend_dim = 32
+    cfg.model.tf_layers = 1
+    cfg.model.tf_dec_layers = 1
+    cfg.model.tf_dim = 32
+    cfg.model.tf_heads = 2
+    cfg.model.tf_mlp = 64
+    cfg.model.dtype = "float32"
+    cfg.model.dropout = 0.0
+    cfg.mesh.data_parallel = 1
+    cfg.train.warmup_steps = 1
+
+    clip = make_clip(33)
+    T = 12
+    B = 2
+    rng = np.random.default_rng(1)
+    labels = dict(
+        targets=np.pad(rng.integers(3, 30, (B, 5)).astype(np.int32),
+                       ((0, 0), (0, 3))),
+        target_lengths=np.full((B,), 5, np.int32),
+        ctc_labels=rng.integers(3, 30, (B, 6)).astype(np.int32),
+        ctc_lengths=np.full((B,), 3, np.int32),
+        texts=["x"] * B,
+    )
+
+    def batch_with_faceless(seed):
+        faceless = blank_out_frames(clip, range(T), seed=seed)[:T]
+        return VideoBatch(
+            frames=np.stack([faceless, clip.frames[:T]]),
+            frame_lengths=np.asarray([T, T], np.int32),
+            **labels,
+        )
+
+    losses = []
+    for i, seed in enumerate((9, 10)):   # two different faceless backgrounds
+        tr = FusedTrainer(cfg, str(tmp_path / f"run{i}"),
+                          params_to_jax(assets[0]), model_to_jax(assets[1]),
+                          presence=presence, tracked=True)
+        losses.append(float(tr.train_step(batch_with_faceless(seed))["loss"]))
+    assert np.isfinite(losses[0])
+    assert losses[0] == losses[1], (
+        f"faceless sample's pixels leaked into the loss: {losses}")
+
+
+@pytest.mark.slow
 def test_host_batching_compacts_masked_frames(tmp_path, small_cfg):
     """keep_invalid=True dataview -> BucketedDataset applies skip-frame
     semantics at read time: batches carry only confident frames, lengths
