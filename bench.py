@@ -235,6 +235,79 @@ def main():
     except Exception as e:
         print(f"# train MFU bench skipped: {e}", file=sys.stderr)
 
+    # host ingest leg (SURVEY.md hard part #6 / VERDICT r2 missing #1:
+    # "ffmpeg decode must exceed TPU consumption ... measure, don't assume").
+    # host_decode_fps: one cv2 stream. pool_decode_fps: the multi-process
+    # decode ring at (cores-1) workers. ingest_sustained_fps: mp4 files on
+    # disk -> VideoDecodePool -> VideoFileIterator -> Prefetcher -> fused
+    # train step, wall-clock including every host-side stage.
+    host_decode_fps = pool_decode_fps = ingest_fps = None
+    n_workers = None
+    try:
+        import tempfile
+
+        from lipreading_tpu.config import preset
+        from lipreading_tpu.data.pipeline import (
+            Prefetcher,
+            VideoDecodePool,
+            VideoFileIterator,
+            video_batch_to_device,
+        )
+        from lipreading_tpu.data.video import decode_video, write_video
+        from lipreading_tpu.ops.preprocess import preprocess_clips  # noqa: F401
+        from lipreading_tpu.train.loop import FusedTrainer
+
+        with tempfile.TemporaryDirectory() as d:
+            paths = []
+            for i, c in enumerate(clips[:16]):
+                p = os.path.join(d, f"c{i}.mp4")
+                write_video(p, c.frames[:64], fps=25.0)
+                paths.append((p, c.text))
+            t0 = time.perf_counter()
+            n_fr = sum(decode_video(p)[0].shape[0] for p, _ in paths[:8])
+            host_decode_fps = n_fr / (time.perf_counter() - t0)
+
+            n_workers = max(1, (os.cpu_count() or 1) - 1)
+            with VideoDecodePool(workers=n_workers) as pool:
+                next(iter(pool.imap([paths[0][0]])))      # warm the spawns
+                t0 = time.perf_counter()
+                n_fr = sum(f.shape[0] for f in
+                           pool.imap([p for p, _ in paths]))
+                pool_decode_fps = n_fr / (time.perf_counter() - t0)
+
+                icfg = preset("transformer-attn")
+                icfg.data.batch_size = 8
+                icfg.data.time_buckets = (64,)
+                icfg.mesh.data_parallel = 1
+                with tempfile.TemporaryDirectory() as wd:
+                    from lipreading_tpu.train.loop import batch_sharding
+
+                    tr = FusedTrainer(icfg, wd, det, ert)
+                    bsh = batch_sharding(tr.mesh)
+                    it = VideoFileIterator(paths, icfg.data,
+                                           icfg.data.batch_size, pool)
+                    pf = Prefetcher(
+                        it, lambda b: video_batch_to_device(b, bsh), depth=2)
+                    rkey = jax.random.PRNGKey(2)
+                    dev, host = next(pf)          # compile + warm
+                    p_, o_, m = tr._jit_step(tr.params, tr.opt_state,
+                                             tr._det, tr._ert, tr._presence,
+                                             dev, rkey)
+                    jax.block_until_ready(m)
+                    n_steps = 6
+                    t0 = time.perf_counter()
+                    fr_done = 0
+                    for _ in range(n_steps):
+                        dev, host = next(pf)
+                        p_, o_, m = tr._jit_step(p_, o_, tr._det, tr._ert,
+                                                 tr._presence, dev, rkey)
+                        fr_done += int(host.frame_lengths.sum())
+                    float(m["loss"])              # force real D2H
+                    ingest_fps = fr_done / (time.perf_counter() - t0)
+                    pf.close()
+    except Exception as e:
+        print(f"# host ingest bench skipped: {e}", file=sys.stderr)
+
     from lipreading_tpu.flops import mfu as _mfu2, preprocess_flops
 
     pre_mfu = _mfu2(preprocess_flops(pre_cfg, *frames.shape[1:3]) * tpu_fps,
@@ -251,6 +324,10 @@ def main():
         "e2e_flagship_fps": round(flagship_fps, 1) if flagship_fps else None,
         "train_step_fps": round(train_fps, 1) if train_fps else None,
         "train_step_mfu": train_mfu,
+        "host_decode_fps": round(host_decode_fps, 1) if host_decode_fps else None,
+        "pool_decode_fps": round(pool_decode_fps, 1) if pool_decode_fps else None,
+        "pool_decode_workers": n_workers,
+        "ingest_sustained_fps": round(ingest_fps, 1) if ingest_fps else None,
         "preprocess_mfu": round(pre_mfu, 5) if pre_mfu else None,
         "backend": backend,
         "batch_frames": n,

@@ -192,6 +192,129 @@ class Prefetcher:
             pass
 
 
+def _decode_one(job):
+    """Pool worker: (path, max_frames) -> [T, H, W, 3] uint8. Imports stay
+    inside so spawn children never touch jax (and never grab the TPU)."""
+    path, max_frames = job
+    from lipreading_tpu.data.video import decode_video
+
+    frames, _ = decode_video(path, max_frames=max_frames)
+    return frames
+
+
+class VideoDecodePool:
+    """Multi-process mp4 decode ring (SURVEY.md hard part #6: "ffmpeg decode
+    must exceed TPU consumption ... measure, don't assume").
+
+    cv2 decode is single-threaded per stream, so one core caps ingest at one
+    stream's decode rate; the pool fans decode across ``workers`` processes
+    with an order-preserving imap and ``prefetch`` jobs in flight. Workers
+    use the spawn context and import only cv2/numpy — no jax, so they can
+    never contend for the accelerator.
+
+    Usage::
+
+        with VideoDecodePool(workers=4) as pool:
+            for frames in pool.imap(paths):
+                ...
+    """
+
+    def __init__(self, workers: int | None = None, prefetch: int = 4):
+        import multiprocessing as mp
+        import os
+
+        self.workers = workers or max(1, (os.cpu_count() or 1) - 1)
+        self.prefetch = prefetch
+        self._ctx = mp.get_context("spawn")
+        self._pool = self._ctx.Pool(self.workers)
+
+    def imap(self, paths, max_frames: int | None = None):
+        """Yield decoded [T, H, W, 3] uint8 stacks in input order."""
+        jobs = ((p, max_frames) for p in paths)
+        return self._pool.imap(_decode_one, jobs, chunksize=1)
+
+    def close(self):
+        self._pool.terminate()
+        self._pool.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class VideoFileIterator:
+    """Resumable iterator yielding VideoBatches decoded from mp4 files on
+    disk through a VideoDecodePool — the real-video analogue of
+    VideoBatchIterator (which serves in-memory fixture clips).
+
+    ``samples`` is a list of (mp4_path, text). Every sample is decoded each
+    epoch (streaming ingest, nothing cached) so sustained throughput here IS
+    the host decode rate the fused train step sees.
+    """
+
+    def __init__(self, samples: list[tuple[str, str]], cfg: DataConfig,
+                 batch_size: int, pool: VideoDecodePool,
+                 vocab: Vocab | None = None, seed: int = 0):
+        self.samples = samples
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.pool = pool
+        self.vocab = vocab or Vocab()
+        self.seed = seed
+        self.epoch = 0
+        self._iter = None
+
+    def _epoch_stream(self, epoch):
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, 0xF11E]))
+        order = rng.permutation(len(self.samples))
+        n = (len(order) // self.batch_size) * self.batch_size
+        if n == 0:
+            raise RuntimeError("corpus smaller than batch size")
+        order = order[:n]
+        paths = [self.samples[i][0] for i in order]
+        bucket = max(self.cfg.time_buckets)
+        decoded = self.pool.imap(paths, max_frames=bucket)
+        B, L = self.batch_size, self.cfg.max_chars
+        H, W = self.cfg.frame_height, self.cfg.frame_width
+        for lo in range(0, n, B):
+            frames = np.zeros((B, bucket, H, W, 3), np.uint8)
+            fl = np.zeros((B,), np.int32)
+            targets = np.zeros((B, L), np.int32)
+            tl = np.zeros((B,), np.int32)
+            ctc = np.zeros((B, L), np.int32)
+            cl = np.zeros((B,), np.int32)
+            texts = []
+            for k in range(B):
+                f = next(decoded)
+                text = self.samples[order[lo + k]][1]
+                t = min(f.shape[0], bucket)
+                frames[k, :t] = f[:t]
+                fl[k] = t
+                ids = self.vocab.encode(text)[: L - 2]
+                text = self.vocab.decode(ids)
+                targets[k], tl[k] = self.vocab.encode_target(text, L)
+                ctc[k, : len(ids)] = ids
+                cl[k] = len(ids)
+                texts.append(text)
+            yield VideoBatch(frames, fl, targets, tl, ctc, cl, texts)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> VideoBatch:
+        if self._iter is None:
+            self._iter = self._epoch_stream(self.epoch)
+        try:
+            return next(self._iter)
+        except StopIteration:
+            self.epoch += 1
+            self._iter = self._epoch_stream(self.epoch)
+            return next(self._iter)
+
+
 def video_batch_to_device(batch: VideoBatch, sharding=None):
     """VideoBatch -> device dict (frames stay uint8; preprocess runs in-step)."""
     import jax

@@ -10,6 +10,11 @@ Usage:
   python scripts/demo.py workdir=none release=transformer_hybrid beam=8 \
       lm_weight=0.4 lexicon=1
   python scripts/demo.py workdir=none stream=16    # online/webcam mode
+
+Real-video input (video=...) defaults to tracked=1: robust detection with
+skip-frame semantics, so a cutaway is flagged and skipped instead of being
+transcribed as garbage. tracked=0 forces the unguarded single-box path.
+Fixture input defaults to tracked=0 (bit-parity with the golden dump).
 """
 import os
 import sys
@@ -33,6 +38,11 @@ def main(argv):
     lm_weight = float(args.pop("lm_weight", 0.0))
     use_lexicon = args.pop("lexicon", "0") in ("1", "true")
     stream = int(args.pop("stream", 0))   # >0: online mode, chunk size
+    # real-video input defaults to the robust tracked path (skip-frame
+    # semantics — a cutaway yields a flagged gap, not garbage text); the
+    # fixture path stays untracked so golden/bit-parity runs are unchanged.
+    tracked = args.pop("tracked", "1" if video is not None else "0") \
+        in ("1", "true")
     # auto-pair preprocessing assets with the release model's training stack:
     # a *_robust model was trained behind the robust detector/ERT — decoding
     # it through the default stack mismatches what it saw (VERDICT r1 weak #7)
@@ -99,13 +109,28 @@ def main(argv):
             )
         ert = lmk_to_jax(lm_np)
 
+    presence = None
+    if tracked:
+        from lipreading_tpu.preproc_training import load_presence
+
+        presence = load_presence(
+            variant=assets_variant if assets_variant == "robust" else "default"
+        )
+        if presence is None:
+            raise SystemExit(
+                "tracked preprocessing (the default for real video) needs "
+                "the face-presence head asset (scripts/train_presence.py); "
+                "pass tracked=0 to force the unguarded single-box path"
+            )
+
     if stream:
         # online mode: feed the clip in webcam-sized chunks through the
         # sliding-window transcriber (streaming.py) and print growth
         from lipreading_tpu.streaming import StreamingTranscriber
 
         st = StreamingTranscriber(params, cfg, det, ert,
-                                  window=64, decode_every=16)
+                                  window=64, decode_every=16,
+                                  presence=presence, tracked=tracked)
         t0 = time.perf_counter()
         for lo in range(0, len(frames), stream):
             hyp = st.feed(frames[lo:lo + stream])
@@ -121,8 +146,22 @@ def main(argv):
         return
 
     t0 = time.perf_counter()
-    rois = preprocess_padded(det, ert, frames, cfg.preprocess)
     import numpy as np
+    if tracked:
+        from lipreading_tpu.ops.preprocess import preprocess_padded_tracked
+
+        rois, valid = preprocess_padded_tracked(det, presence, ert, frames,
+                                                cfg.preprocess)
+        n_bad = int((~valid).sum())
+        if n_bad:
+            print(f"  {n_bad}/{len(valid)} frames flagged no-face "
+                  f"(skipped, not transcribed as garbage)")
+        rois = rois[valid]               # skip-frame semantics
+        if rois.shape[0] == 0:
+            print("transcript: ''  (no confident face in any frame)")
+            return
+    else:
+        rois = preprocess_padded(det, ert, frames, cfg.preprocess)
     T = rois.shape[0]
     padded = -(-T // 64) * 64
     rois = np.pad(rois, ((0, padded - T), (0, 0), (0, 0)))

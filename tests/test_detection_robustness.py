@@ -171,3 +171,75 @@ def test_tracked_matches_untracked_on_clean_clip(det, presence, assets):
     assert np.asarray(valid).all()
     # same argmax cell selected -> identical boxes -> identical ROIs
     np.testing.assert_allclose(np.asarray(rois), base, atol=1e-5)
+
+
+def test_demo_default_flags_cutaway_mp4(tmp_path, assets, presence):
+    """VERDICT r2 missing #2: an arbitrary mp4 with a cutaway, fed through
+    the DEFAULT demo CLI (no tracked= flag), must produce a flagged gap —
+    not silently transcribe garbage ROIs."""
+    import os
+    import subprocess
+    import sys
+
+    from lipreading_tpu.data.video import write_video
+    from lipreading_tpu.fixtures import blank_out_frames, make_clip
+
+    clip = make_clip(21)
+    frames = blank_out_frames(clip, [4, 5, 6], seed=3)[:12]
+    path = str(tmp_path / "cutaway.mp4")
+    write_video(path, frames, fps=25.0)
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join("scripts", "demo.py"),
+         "workdir=/nonexistent", "release=nonexistent", f"video={path}",
+         "model.frontend_channels=4,8,12", "model.frontend_dim=32",
+         "model.gru_hidden=32", "model.gru_layers=1", "model.dtype=float32",
+         "beam=1"],
+        env=env, cwd=root, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "flagged no-face" in r.stdout, r.stdout
+    assert "transcript:" in r.stdout, r.stdout
+
+
+def test_generate_dataview_video_default_tracked(tmp_path, assets, presence):
+    """generate_dataview video=... defaults to tracked preprocessing and
+    stores per-frame valid masks (skip-frame semantics at read time)."""
+    import os
+    import subprocess
+    import sys
+
+    from lipreading_tpu.data.dataview import Dataview
+    from lipreading_tpu.data.video import write_video
+    from lipreading_tpu.fixtures import blank_out_frames, make_clip
+
+    clip = make_clip(22)
+    frames = blank_out_frames(clip, [3, 4], seed=5)[:10]
+    vid = str(tmp_path / "clip.mp4")
+    write_video(vid, frames, fps=25.0)
+    vtt = str(tmp_path / "clip.vtt")
+    with open(vtt, "w") as f:
+        f.write("WEBVTT\n\n00:00:00.000 --> 00:00:00.400\nhello world\n")
+    out = str(tmp_path / "dv")
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join("scripts", "generate_dataview.py"),
+         f"out={out}", f"video={vid}", f"vtt={vtt}"],
+        env=env, cwd=root, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "flagged no-face" in r.stdout, r.stdout
+    view = Dataview(out)
+    assert len(view) >= 1
+    v = view.frame_valid(0)
+    assert v.dtype == bool and not v.all()     # the cutaway is masked
