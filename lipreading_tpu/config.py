@@ -46,9 +46,15 @@ class DataConfig:
 
 @dataclass
 class ModelConfig:
-    # 3D-CNN visual frontend (ref: LCANet-style Conv3d stack, SURVEY.md §3)
+    # 3D-CNN visual frontend (ref: LCANet-style Conv3d stack, SURVEY.md §3).
+    # frontend="patchify" swaps in the MXU-shaped tubelet-embed stem
+    # (models/frontend3d.patchify_init — round-3 MFU work); "conv3d" is the
+    # reference-shaped stack and stays the importer/parity anchor.
+    frontend: str = "conv3d"
     frontend_channels: tuple[int, ...] = (32, 64, 96)
     frontend_dim: int = 256       # feature dim fed to the encoder
+    patch_size: int = 8           # patchify stem: space-to-depth patch edge
+    patch_dim: int = 256          # patchify stem: embed/conv channel width
     highway_layers: int = 2
     # bi-GRU encoder (ref: nn.GRU bidirectional)
     gru_hidden: int = 256

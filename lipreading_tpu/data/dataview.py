@@ -173,6 +173,22 @@ def build_fixture_dataview(
 
         det_np, ert_np = load_assets(variant=assets_variant)
         det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+        if pre_cfg.landmarker == "conv":
+            # conv-landmarker corpora (e.g. preprocessing-path augmentation
+            # for releases that must hold CER behind the fast path): the
+            # distilled conv asset rides in the landmarker slot
+            from lipreading_tpu.ops.landmarker import (
+                params_to_jax as lmk_to_jax,
+            )
+            from lipreading_tpu.preproc_training import load_landmarker
+
+            lm_np = load_landmarker(variant=assets_variant)
+            if lm_np is None:
+                raise FileNotFoundError(
+                    f"pre_cfg.landmarker='conv' but no conv landmarker asset "
+                    f"for variant {assets_variant!r}"
+                )
+            ert = lmk_to_jax(lm_np)
         if tracked:
             import jax
 

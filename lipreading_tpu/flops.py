@@ -52,14 +52,22 @@ def conv3d_flops(t: int, h: int, w: int, kernel, cin: int, cout: int,
 
 
 def frontend_flops(cfg: Config, T: int) -> float:
-    """Per-sample forward FLOPs of the 3D-CNN frontend over T frames."""
+    """Per-sample forward FLOPs of the visual frontend over T frames."""
     m = cfg.model
-    c0, c1, c2 = m.frontend_channels
     R = cfg.preprocess.roi_size                       # 96
-    f = conv3d_flops(T, R, R, (3, 5, 5), 1, c0, (1, 2, 2))        # -> 48
-    f += conv3d_flops(T, R // 4, R // 4, (3, 5, 5), c0, c1)       # 24
-    f += conv3d_flops(T, R // 8, R // 8, (3, 3, 3), c1, c2)       # 12
-    f += _dense(T, c2 * 6 * 6, m.frontend_dim)
+    if m.frontend == "patchify":
+        P, ps = m.patch_dim, m.patch_size
+        g = R // ps                                    # 12
+        f = _dense(T * g * g, 3 * ps * ps, P)          # tubelet embed
+        f += conv3d_flops(T, g // 2, g // 2, (3, 3, 3), P, P)     # 6x6
+        f += conv3d_flops(T, g // 4, g // 4, (3, 3, 3), P, P)     # 3x3
+        f += _dense(T, P * (g // 4) ** 2, m.frontend_dim)
+    else:
+        c0, c1, c2 = m.frontend_channels
+        f = conv3d_flops(T, R, R, (3, 5, 5), 1, c0, (1, 2, 2))    # -> 48
+        f += conv3d_flops(T, R // 4, R // 4, (3, 5, 5), c0, c1)   # 24
+        f += conv3d_flops(T, R // 8, R // 8, (3, 3, 3), c1, c2)   # 12
+        f += _dense(T, c2 * 6 * 6, m.frontend_dim)
     f += m.highway_layers * 2 * _dense(T, m.frontend_dim, m.frontend_dim)
     return f
 

@@ -24,6 +24,81 @@ from lipreading_tpu.config import ModelConfig
 from lipreading_tpu.models import nn
 
 
+def patchify_init(key, cfg: ModelConfig):
+    """MXU-shaped stem (cfg.model.frontend="patchify"; round-3 MFU work).
+
+    The reference-shaped conv3d stack above is 96.6%% of the flagship's
+    forward FLOPs yet runs at 16.5%% MFU (BASELINE.md round-3 profile): its
+    C_out of 32/64/96 leaves MXU lanes half-empty and the C_in=1 first conv
+    cannot tile at all. This stem reaches the same [B, T, D] contract through
+    ops the MXU likes:
+
+        [B,T,96,96,1] -> 8x8 space-to-depth -> [B,T,12,12,64]
+                      -> concat (t-1,t,t+1)  -> [B,T,12,12,192]
+                      -> dense 192->P (tubelet embed as ONE matmul) -> GN -> relu
+                      -> pool(1,2,2) -> [B,T,6,6,P]
+                      -> conv3d(3,3,3) P->P -> GN -> relu   (contraction 27P)
+                      -> pool(1,2,2) -> [B,T,3,3,P]
+                      -> conv3d(3,3,3) P->P -> GN -> relu
+                      -> flatten -> dense 9P->D -> highway x N
+
+    ~175 MFLOP/frame vs the conv stack's 237 with every contraction and
+    output dimension >= 128. Time stride stays 1 (CTC frame rate). The
+    conv3d stem remains the parity/importer anchor; this one needs retrained
+    weights (scripts/train.py model.frontend=patchify).
+    """
+    P = cfg.patch_dim
+    ps = cfg.patch_size
+    ks = jax.random.split(key, 6 + cfg.highway_layers)
+    return {
+        "embed": nn.dense_init(ks[0], 3 * ps * ps, P),
+        "gn_e": nn.groupnorm_init(P),
+        "convA": nn.conv3d_init(ks[1], (3, 3, 3), P, P),
+        "gnA": nn.groupnorm_init(P),
+        "convB": nn.conv3d_init(ks[2], (3, 3, 3), P, P),
+        "gnB": nn.groupnorm_init(P),
+        "proj": nn.dense_init(ks[3], P * (96 // ps // 4) ** 2,
+                              cfg.frontend_dim),
+        "highway": [
+            nn.highway_init(ks[4 + i], cfg.frontend_dim)
+            for i in range(cfg.highway_layers)
+        ],
+    }
+
+
+def patchify_apply(p, rois, cfg: ModelConfig, dtype=None, dropout_rng=None,
+                   rate: float = 0.0):
+    """[B, T, R, R] -> [B, T, D]; see patchify_init."""
+    if rois.ndim == 5:
+        rois = rois[..., 0]
+    x = rois.astype(dtype or jnp.float32)
+    B, T, R, _ = x.shape
+    ps = cfg.patch_size
+    g = R // ps
+    # space-to-depth: [B, T, g, g, ps*ps]
+    x = x.reshape(B, T, g, ps, g, ps).transpose(0, 1, 2, 4, 3, 5)
+    x = x.reshape(B, T, g, g, ps * ps)
+    # temporal window (t-1, t, t+1), zero-padded at the edges like a SAME
+    # k_t=3 conv — the tubelet embed below then sees 3*ps*ps inputs
+    z = jnp.zeros_like(x[:, :1])
+    x = jnp.concatenate(
+        [jnp.concatenate([z, x[:, :-1]], axis=1), x,
+         jnp.concatenate([x[:, 1:], z], axis=1)],
+        axis=-1,
+    )
+    x = jax.nn.relu(nn.groupnorm(p["gn_e"], nn.dense(p["embed"], x, dtype=dtype)))
+    x = nn.maxpool3d(x.reshape(B, T, g, g, -1))
+    x = jax.nn.relu(nn.groupnorm(p["gnA"], nn.conv3d(p["convA"], x, dtype=dtype)))
+    x = nn.maxpool3d(x)
+    x = jax.nn.relu(nn.groupnorm(p["gnB"], nn.conv3d(p["convB"], x, dtype=dtype)))
+    x = x.reshape(B, T, -1)
+    x = nn.dense(p["proj"], x, dtype=dtype)
+    for hp in p["highway"]:
+        x = nn.highway(hp, x, dtype=dtype)
+    x = nn.dropout(dropout_rng, x, rate, deterministic=dropout_rng is None)
+    return x
+
+
 def frontend_init(key, cfg: ModelConfig):
     c0, c1, c2 = cfg.frontend_channels
     ks = jax.random.split(key, 5 + cfg.highway_layers)

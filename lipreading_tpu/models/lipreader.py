@@ -21,7 +21,12 @@ import jax.numpy as jnp
 from lipreading_tpu.config import Config
 from lipreading_tpu.models import nn
 from lipreading_tpu.models.attention import attn_decoder_init, teacher_forced_logits
-from lipreading_tpu.models.frontend3d import frontend_apply, frontend_init
+from lipreading_tpu.models.frontend3d import (
+    frontend_apply,
+    frontend_init,
+    patchify_apply,
+    patchify_init,
+)
 from lipreading_tpu.models.gru import bigru, bigru_init
 from lipreading_tpu.models import transformer as tf
 from lipreading_tpu.ops.ctc import ctc_loss_best
@@ -34,7 +39,8 @@ def _act_dtype(cfg: Config):
 def init_model(key, cfg: Config):
     m = cfg.model
     ks = jax.random.split(key, 4)
-    params = {"frontend": frontend_init(ks[0], m)}
+    fe_init = patchify_init if m.frontend == "patchify" else frontend_init
+    params = {"frontend": fe_init(ks[0], m)}
     if cfg.encoder == "bigru":
         params["encoder"] = bigru_init(ks[1], m.frontend_dim, m.gru_hidden,
                                        m.gru_layers)
@@ -71,17 +77,20 @@ def encode(params, cfg: Config, rois, frame_lengths, dtype=None, rng=None,
     k1 = k2 = None
     if rng is not None:
         k1, k2 = jax.random.split(rng)
+    if cfg.model.frontend == "patchify":
+        def _fe(fp, r, k):
+            return patchify_apply(fp, r, cfg.model, dtype,
+                                  dropout_rng=k, rate=rate)
+    else:
+        def _fe(fp, r, k):
+            return frontend_apply(fp, r, dtype, dropout_rng=k, rate=rate)
     if cfg.train.remat:
         # rematerialize the conv stack on the backward pass: trades ~20%
         # frontend FLOPs for not holding [B, T, 48, 48, C] activations in HBM.
         # dtype/rate stay closure constants (static under the checkpoint).
-        def _frontend(fp, r, k):
-            return frontend_apply(fp, r, dtype, dropout_rng=k, rate=rate)
-
-        feats = jax.checkpoint(_frontend)(params["frontend"], rois, k1)
+        feats = jax.checkpoint(_fe)(params["frontend"], rois, k1)
     else:
-        feats = frontend_apply(params["frontend"], rois, dtype,
-                               dropout_rng=k1, rate=rate)
+        feats = _fe(params["frontend"], rois, k1)
     sp = (mesh is not None and cfg.mesh.sequence_parallel
           and mesh.shape.get(cfg.mesh.model_axis, 1) > 1)
     if cfg.encoder == "bigru":

@@ -23,6 +23,13 @@ and left-context overlap**:
 The live transcript is committed + collapse(alignment[context:]): exactly
 greedy CTC for the tail, one compiled program per shape. Static shapes
 throughout; requires a CTC head (decoder "ctc" or "hybrid").
+
+With ``beam > 1`` both the live tail AND the commits are beam-quality: the
+window's live suffix is decoded by the device CTC prefix beam (+ optional
+char-LM fusion), and at commit time the beam hypothesis is force-aligned
+back onto the frames (ops/ctc.ctc_viterbi_align) to recover the per-frame
+attribution the blank-run cut needs — the committed words are the beam's,
+not the greedy best-path's (VERDICT r2 weak #6).
 """
 
 from __future__ import annotations
@@ -150,11 +157,16 @@ class StreamingTranscriber:
 
         self.beam = beam
         self._tail_beam = None
+        self._beam_path = None
         if beam > 1:
-            # live-tail quality: exact device CTC prefix beam (+ optional
-            # char-LM shallow fusion) over the uncommitted window suffix.
-            # Alignment commits stay greedy best-path (they need per-frame
-            # text attribution, which a beam hypothesis does not provide).
+            # live-tail AND commit quality: exact device CTC prefix beam
+            # (+ optional char-LM shallow fusion) over the uncommitted window
+            # suffix. Commits cut the BEAM hypothesis, not the greedy
+            # best-path: the beam text is Viterbi-force-aligned back onto the
+            # frames (ops/ctc.ctc_viterbi_align) so per-frame attribution —
+            # which a beam hypothesis alone does not provide — is recovered
+            # for the blank-run cut (VERDICT r2 weak #6).
+            from lipreading_tpu.ops.ctc import ctc_viterbi_align
             from lipreading_tpu.ops.joint_decode import ctc_prefix_beam_device
 
             lm = None
@@ -163,20 +175,44 @@ class StreamingTranscriber:
 
                 lm = _load_lm()            # resolve OUTSIDE jit (infer.py)
             max_len = cfg.train.max_decode_len
+            vocab = self.vocab
 
-            @jax.jit
-            def _tail_beam(rois, length, ctx):
+            def _beam_live(rois, length, ctx):
+                """Beam ids over the live suffix [ctx:length)."""
                 lp = ctc_log_probs(params, cfg, rois, length)
                 # live suffix to the front; the wrapped committed-context
                 # frames land beyond (length - ctx) and are masked out
                 lp = jnp.roll(lp, -ctx, axis=1)
-                return ctc_prefix_beam_device(
+                ids, n = ctc_prefix_beam_device(
                     lp, length - ctx, beam, max_len,
-                    blank=self.vocab.blank_id, sos=self.vocab.sos_id,
-                    eos=self.vocab.eos_id, lm=lm, lm_weight=lm_weight,
+                    blank=vocab.blank_id, sos=vocab.sos_id,
+                    eos=vocab.eos_id, lm=lm, lm_weight=lm_weight,
                 )
+                return lp, ids, n
 
-            self._tail_beam = _tail_beam
+            self._tail_beam = jax.jit(
+                lambda r, l, c: _beam_live(r, l, c)[1:])
+
+            @jax.jit
+            def _beam_path(rois, length, ctx):
+                """Per-frame path of the beam hypothesis over the window.
+
+                Frames < ctx emit blank (their text is already committed;
+                the cut logic never reads them)."""
+                lp, ids, n = _beam_live(rois, length, ctx)
+                pos = jnp.arange(ids.shape[1])[None, :]
+                keep = ((ids != vocab.blank_id) & (ids != vocab.sos_id)
+                        & (ids != vocab.eos_id) & (pos < n[:, None]))
+                order = jnp.argsort(~keep, axis=1, stable=True)
+                labels = jnp.take_along_axis(ids, order, axis=1)
+                lab_len = keep.sum(axis=1)
+                path_live = ctc_viterbi_align(
+                    lp, labels, length - ctx, lab_len,
+                    blank=vocab.blank_id,
+                )                                   # [1, W] (live at front)
+                return jnp.roll(path_live, ctx, axis=1)
+
+            self._beam_path = _beam_path
 
     def feed(self, frames: np.ndarray) -> str:
         """Append [N, H, W, 3] uint8 frames; returns the current transcript.
@@ -224,15 +260,30 @@ class StreamingTranscriber:
         )[0]
         return path[:T]
 
+    def _beam_aligned_path(self, T: int) -> np.ndarray:
+        """Per-frame path of the BEAM hypothesis for the first T frames."""
+        W = self.window
+        win = np.stack(self._buf[:T])
+        if T < W:
+            win = np.pad(win, ((0, W - T), (0, 0), (0, 0)))
+        path = np.asarray(self._beam_path(
+            jnp.asarray(win[None]), jnp.asarray([T], np.int32),
+            jnp.asarray(self._ctx, np.int32),
+        ))[0]
+        return path[:T]
+
     def _commit_from_window(self) -> None:
         """Commit the stable head of an over-full buffer.
 
         Cut at the last blank run (= inter-word silence) before the tail
         guard; commit the collapsed text in [ctx, cut); drop frames but keep
         the trailing ``context`` frames as already-committed encoder context.
+        With beam > 1 the committed text is the beam hypothesis (force-
+        aligned to frames); otherwise the greedy best-path.
         """
         W = self.window
-        path = self._path(W)
+        path = (self._beam_aligned_path(W) if self._beam_path is not None
+                else self._path(W))
         guard = W - self.tail_guard
         is_blank = path[:guard] == self.vocab.blank_id
         is_blank[: self._ctx] = False            # cut must advance past ctx

@@ -136,6 +136,12 @@ def import_model(sd: dict, cfg) -> dict:
     that silently ignores weights cannot certify parity).
     """
     m = cfg.model
+    if m.frontend != "conv3d":
+        raise ValueError(
+            "import_model maps the reference-shaped conv3d frontend; "
+            f"cfg.model.frontend={m.frontend!r} has no torch counterpart "
+            "(train it natively via scripts/train.py)"
+        )
     consumed: set[str] = set()
     tracking = dict(sd)
 
@@ -206,6 +212,13 @@ def export_model_state_dict(params: dict, cfg) -> dict:
     import_model must reproduce the pytree bit-for-bit (pure transposes).
     """
     import torch
+
+    if cfg.model.frontend != "conv3d":
+        raise ValueError(
+            "export_model_state_dict maps the reference-shaped conv3d "
+            f"frontend; cfg.model.frontend={cfg.model.frontend!r} has no "
+            "torch counterpart"
+        )
 
     sd: dict = {}
 

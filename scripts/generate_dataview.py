@@ -50,10 +50,14 @@ def main(argv):
     v_hi = variation[1] if isinstance(variation, tuple) else variation
     assets_variant = args.pop("assets_variant",
                               "robust" if v_hi > 0 else "default")
+    landmarker = args.pop("landmarker", "ert")   # "conv": distilled fast path
+    from lipreading_tpu.config import PreprocessConfig
     from lipreading_tpu.data.dataview import build_fixture_dataview
 
     view = build_fixture_dataview(
         out, n_clips=n_clips, seed=seed, data_cfg=DataConfig(),
+        pre_cfg=PreprocessConfig(landmarker=landmarker)
+        if landmarker != "ert" else None,
         use_ground_truth_landmarks=gt, tracked=tracked,
         keep_invalid=keep_invalid, variation=variation,
         assets_variant=assets_variant,

@@ -4,11 +4,18 @@
 Usage:
   python scripts/train_landmarker.py [variant=default] [n_clips=48]
       [steps=4000] [seed=0] [variation=0.0] [out=assets/landmarker_conv.npz]
+      [gate_cer=1] [gate_release=transformer_hybrid_universal]
 
 Teacher = the shipped detector+ERT assets for ``variant``; targets are the
 ERT's own predictions on the detector's boxes (the deployment distribution).
 Prints the distillation gate metrics (landmark px error vs the ERT, and the
 downstream normalized-ROI max|diff| on held-out clips) before saving.
+
+gate_cer=1 (default) additionally runs the gate that MATTERS (SURVEY.md
+plan-B framing; VERDICT r2 weak #5): decode held-out clips through the
+release model behind BOTH preprocessing paths and print the transcript CER
+delta conv-vs-ERT. The asset is saved either way — the gate is a printed
+verdict for the operator (and for tests/test_landmarker.py's pin).
 """
 import os
 import sys
@@ -29,6 +36,8 @@ def main(argv):
     variation = float(args.pop("variation", 0.0))
     sfx = "" if variant == "default" else f"_{variant}"
     out = args.pop("out", os.path.join("assets", f"landmarker_conv{sfx}.npz"))
+    gate_cer = args.pop("gate_cer", "1") in ("1", "true")
+    gate_release = args.pop("gate_release", "transformer_hybrid_universal")
     assert not args, f"unknown args {args}"
 
     import jax.numpy as jnp
@@ -73,8 +82,59 @@ def main(argv):
     print(f"downstream ROI |diff|: mean {d.mean():.4f} max {d.max():.4f} "
           f"(normalized units; 1 gray level = {1/255/0.165:.4f})")
 
+    if gate_cer:
+        gate_transcript_cer(lm, det_np, ert_np, gate_release, variation, seed)
+
     save_landmarker(lm, out)
     print(f"saved {out}")
+
+
+def gate_transcript_cer(lm, det_np, ert_np, release, variation, seed,
+                        n_clips=12):
+    """Downstream transcript gate: release-model CER behind the conv path
+    vs behind the ERT path on held-out clips (the metric that matters)."""
+    import jax.numpy as jnp
+
+    from lipreading_tpu.config import PreprocessConfig
+    from lipreading_tpu.fixtures import make_clip
+    from lipreading_tpu.infer import transcribe
+    from lipreading_tpu.metrics import corpus_cer
+    from lipreading_tpu.ops import landmarker as lmk
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+    from lipreading_tpu.ops.preprocess import preprocess_padded
+    from lipreading_tpu.preproc_training import load_release_model
+
+    rel = load_release_model(release)
+    if rel is None:
+        print(f"# transcript gate skipped: no release asset {release!r}")
+        return None
+    params, cfg = rel
+    det = params_to_jax(det_np)
+    paths = {"ert": (model_to_jax(ert_np), PreprocessConfig()),
+             "conv": (lmk.params_to_jax(lm),
+                      PreprocessConfig(landmarker="conv"))}
+    cers = {}
+    for name, (landmarker, pcfg) in paths.items():
+        hyps, refs = [], []
+        for i in range(n_clips):
+            clip = make_clip(seed * 100_000 + 717_171 + i,
+                             variation=variation)
+            rois = preprocess_padded(det, landmarker, clip.frames, pcfg)
+            T = rois.shape[0]
+            P = -(-T // 64) * 64
+            rois = np.pad(rois, ((0, P - T), (0, 0), (0, 0)))
+            hyps.append(transcribe(params, cfg, rois[None],
+                                   jnp.asarray([T]), beam=8,
+                                   lm_weight=0.4)[0])
+            refs.append(clip.text)
+        cers[name] = corpus_cer(hyps, refs)
+    delta = cers["conv"] - cers["ert"]
+    print(f"transcript gate ({release}, {n_clips} clips, "
+          f"variation={variation}): CER ert={cers['ert']:.4f} "
+          f"conv={cers['conv']:.4f} delta={delta:+.4f} "
+          f"{'PASS' if delta <= 0.005 else 'FAIL (>0.005)'}")
+    return cers
 
 
 if __name__ == "__main__":

@@ -90,3 +90,56 @@ def test_ctc_grad_matches_torch():
                            jnp.asarray(lab_lens)).sum()
     )(jnp.asarray(logits))
     np.testing.assert_allclose(np.asarray(g), want, rtol=1e-3, atol=1e-4)
+
+
+def test_viterbi_align_collapses_to_labels():
+    """Forced alignment emits exactly the given labels when feasible."""
+    from lipreading_tpu.ops.ctc import ctc_viterbi_align
+
+    rng = np.random.default_rng(7)
+    B, T, V, L = 3, 12, 8, 4
+    logp = jax.nn.log_softmax(
+        jnp.asarray(rng.normal(0, 2, (B, T, V)).astype(np.float32)), axis=-1)
+    labels = jnp.asarray(rng.integers(1, V, (B, L)).astype(np.int32))
+    in_len = jnp.asarray([12, 10, 9], np.int32)
+    lab_len = jnp.asarray([4, 3, 2], np.int32)
+    path = np.asarray(ctc_viterbi_align(logp, labels, in_len, lab_len))
+    for b in range(B):
+        row = path[b, : int(in_len[b])]
+        # collapse: drop repeats then blanks
+        col = [row[0]] + [c for i, c in enumerate(row[1:]) if c != row[i]]
+        col = [c for c in col if c != 0]
+        assert col == list(np.asarray(labels)[b, : int(lab_len[b])]), (b, row)
+        assert (path[b, int(in_len[b]):] == 0).all()
+
+
+def test_viterbi_align_matches_bruteforce_score():
+    """The Viterbi path is the argmax over ALL feasible alignments (checked
+    against exhaustive enumeration on a tiny lattice)."""
+    import itertools
+
+    from lipreading_tpu.ops.ctc import ctc_viterbi_align
+
+    rng = np.random.default_rng(3)
+    T, V = 6, 5
+    labels = [2, 4]
+    logp = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.normal(0, 1.5, (1, T, V)).astype(np.float32)),
+        axis=-1))
+
+    def collapse(path):
+        out = [path[0]] + [c for i, c in enumerate(path[1:]) if c != path[i]]
+        return [c for c in out if c != 0]
+
+    best, best_p = -1e30, None
+    for path in itertools.product(range(V), repeat=T):
+        if collapse(list(path)) != labels:
+            continue
+        score = sum(logp[0, t, path[t]] for t in range(T))
+        if score > best:
+            best, best_p = score, list(path)
+    got = np.asarray(ctc_viterbi_align(
+        jnp.asarray(logp), jnp.asarray([labels], np.int32),
+        jnp.asarray([T], np.int32), jnp.asarray([2], np.int32)))[0]
+    got_score = sum(logp[0, t, got[t]] for t in range(T))
+    assert got_score == pytest.approx(best, abs=1e-4), (got, best_p)

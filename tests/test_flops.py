@@ -102,3 +102,25 @@ def test_trainer_logs_mfu_fields(tmp_path):
     log = os.path.join(str(tmp_path / "run"), "logs", "metrics.jsonl")
     rows = [json.loads(l) for l in open(log)]
     assert any("tflops_per_sec" in r for r in rows)
+
+
+def test_patchify_frontend_flops_match_xla():
+    """Patchify-stem analytic FLOPs vs XLA cost analysis (round-3 MFU stem)."""
+    cfg = preset("transformer-attn")
+    cfg.model.frontend = "patchify"
+    cfg.model.dtype = "float32"
+    B, T, L = 2, 16, 10
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "rois": jnp.asarray(rng.normal(0, 1, (B, T, 96, 96)).astype(np.float32)),
+        "frame_lengths": jnp.asarray([T, T]),
+        "targets": jnp.asarray(rng.integers(3, 30, (B, L)).astype(np.int32)),
+        "target_lengths": jnp.asarray([L, L]),
+        "ctc_labels": jnp.asarray(rng.integers(3, 30, (B, 6)).astype(np.int32)),
+        "ctc_lengths": jnp.asarray([6, 6]),
+    }
+    got = _xla_flops(lambda p, b: compute_loss(p, cfg, b, train=False)[0],
+                     params, batch)
+    want = B * model_fwd_flops(cfg, T, L)
+    assert 0.6 < got / want < 1.7, (got, want, got / want)

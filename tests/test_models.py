@@ -152,3 +152,61 @@ def test_remat_matches_no_remat(batch):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_patchify_frontend_trains_and_decodes(batch):
+    """cfg.model.frontend="patchify" (round-3 MXU stem): same [B, T, D]
+    contract as the conv3d stack — loss finite, grads finite, decode runs."""
+    import dataclasses
+
+    from lipreading_tpu.infer import transcribe
+    from lipreading_tpu.models.lipreader import compute_loss, init_model
+
+    cfg = preset("transformer-attn")
+    cfg.model.frontend = "patchify"
+    cfg.model.patch_dim = 64
+    cfg.model.tf_layers = 1
+    cfg.model.tf_dec_layers = 1
+    cfg.model.tf_dim = 32
+    cfg.model.tf_heads = 2
+    cfg.model.tf_mlp = 64
+    cfg.model.frontend_dim = 32
+    cfg.model.dtype = "float32"
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    loss, grads = jax.value_and_grad(
+        lambda p: compute_loss(p, cfg, batch, train=False)[0]
+    )(params)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
+    hyps = transcribe(params, cfg, batch["rois"], batch["frame_lengths"],
+                      beam=1)
+    assert len(hyps) == batch["rois"].shape[0]
+
+
+def test_cascade_decode_endpoints(batch):
+    """transcribe_cascade: margin=inf rescoring == full beam transcribe;
+    margin=0 == pure greedy; n_rescored reports honestly."""
+    from lipreading_tpu.infer import transcribe_cascade
+    from lipreading_tpu.ops.decode import ctc_greedy_ids
+    from lipreading_tpu.infer import ctc_log_probs
+    from lipreading_tpu.text import Vocab
+
+    cfg = tiny(preset("bigru-ctc"))
+    params = init_model(jax.random.PRNGKey(1), cfg)
+    full = transcribe(params, cfg, batch["rois"], batch["frame_lengths"],
+                      beam=3)
+    hi, n_hi = transcribe_cascade(params, cfg, batch["rois"],
+                                  batch["frame_lengths"], beam=3,
+                                  margin=float("inf"))
+    assert hi == full and n_hi == batch["rois"].shape[0]
+
+    lo, n_lo = transcribe_cascade(params, cfg, batch["rois"],
+                                  batch["frame_lengths"], beam=3, margin=0.0)
+    assert n_lo == 0
+    vocab = Vocab()
+    logp = ctc_log_probs(params, cfg, batch["rois"], batch["frame_lengths"])
+    gi, gl = ctc_greedy_ids(logp, batch["frame_lengths"],
+                            blank=vocab.blank_id)
+    gi, gl = np.asarray(gi), np.asarray(gl)
+    greedy = [vocab.decode(gi[b, : gl[b]]) for b in range(gi.shape[0])]
+    assert lo == greedy

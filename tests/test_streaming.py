@@ -190,3 +190,50 @@ def test_streaming_beam_tail(assets):
         outs[beam] = st.finish()
     assert cer(outs[4], truth) <= cer(outs[1], truth) + 0.02, outs
     assert cer(outs[4], truth) < 0.15, outs
+
+
+def test_beam_commit_path_attributes_beam_text():
+    """The commit machinery for beam>1 (prefix beam -> special-stripped
+    labels -> Viterbi alignment) recovers per-frame attribution of the BEAM
+    hypothesis — on a distribution where the greedy best-path collapses to
+    a DIFFERENT string (probability mass split across alignments), the
+    aligned path must collapse to the beam's text, not the argmax's."""
+    import jax.numpy as jnp
+
+    from lipreading_tpu.ops.ctc import ctc_viterbi_align
+    from lipreading_tpu.ops.joint_decode import ctc_prefix_beam_device
+    from lipreading_tpu.text import Vocab
+
+    vocab = Vocab()
+    V = vocab.size
+    a = vocab.encode("a")[0]
+    # classic CTC case: per-frame argmax is blank (p=0.4 > 0.35), so the
+    # greedy path is ""; summed over alignments P("a") = 0.4025 > P("") = 0.16
+    T = 2
+    p = np.full((1, T, V), 1e-9, np.float32)
+    p[0, :, vocab.blank_id] = 0.40
+    p[0, :, a] = 0.35
+    p /= p.sum(-1, keepdims=True)
+    lp = jnp.asarray(np.log(p))
+    lengths = jnp.asarray([T], np.int32)
+
+    greedy = np.asarray(jnp.argmax(lp, axis=-1))[0]
+    assert vocab.decode_ctc_greedy(greedy) == ""        # argmax says empty
+
+    ids, n = ctc_prefix_beam_device(lp, lengths, beam=4, max_len=4,
+                                    blank=vocab.blank_id, sos=vocab.sos_id,
+                                    eos=vocab.eos_id)
+    ids, n = np.asarray(ids), np.asarray(n)
+    beam_text = vocab.decode(ids[0, : n[0]])
+    assert beam_text == "a", (ids, n)
+
+    # strip specials exactly like streaming._beam_path does
+    pos = np.arange(ids.shape[1])[None, :]
+    keep = ((ids != vocab.blank_id) & (ids != vocab.sos_id)
+            & (ids != vocab.eos_id) & (pos < n[:, None]))
+    order = np.argsort(~keep[0], kind="stable")
+    labels = ids[0][order][None]
+    path = np.asarray(ctc_viterbi_align(
+        lp, jnp.asarray(labels, jnp.int32), lengths,
+        jnp.asarray([int(keep.sum())], np.int32), blank=vocab.blank_id))[0]
+    assert vocab.decode_ctc_greedy(path) == "a", path
