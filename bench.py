@@ -146,7 +146,7 @@ def main():
     # flagship quality config: transformer-hybrid + joint CTC/attention beam
     # + char-LM fusion — the configuration that holds the best CER; its
     # throughput was unmeasured in round 1 (VERDICT r1 weak #3)
-    flagship_fps = None
+    flagship_fps = cascade_fps = cascade_rescored_frac = None
     try:
         from lipreading_tpu.infer import transcribe
         from lipreading_tpu.ops.preprocess import preprocess_clips
@@ -176,62 +176,49 @@ def main():
                 out3 = flagship()
             flagship_fps = B * Tc * 5 / (time.perf_counter() - t0)
             del out3
+
+            # cascade decoding (round 3): greedy + margin-gated beam
+            # rescoring — transcripts pinned equal to the full beam at the
+            # default margin by tests/evals; this measures the speedup
+            from lipreading_tpu.infer import transcribe_cascade
+
+            transcribe_cascade(fparams, fcfg, rois, lengths, beam=8,
+                               lm_weight=0.4)       # compile + warm
+            t0 = time.perf_counter()
+            n_res = 0
+            for _ in range(5):
+                _, nr = transcribe_cascade(fparams, fcfg, rois, lengths,
+                                           beam=8, lm_weight=0.4)
+                n_res += nr
+            cascade_fps = B * Tc * 5 / (time.perf_counter() - t0)
+            cascade_rescored_frac = n_res / (5 * B)
     except Exception as e:
         print(f"# flagship bench skipped: {e}", file=sys.stderr)
 
-    # train-step MFU on the flagship config (fwd+bwd, AdamW) — converts
-    # frames/s into a fraction of the chip's dense peak
+    # train-step MFU (fwd+bwd, AdamW; device-resident batch at the B=64
+    # knee). K steps run inside ONE jitted lax.fori_loop — immune to the
+    # axon tunnel's dispatch-timing noise (CLAUDE.md measurement gotcha);
+    # on a real host the hidden per-step dispatch is microseconds.
+    # Reported for BOTH frontends (round 3): the MXU-shaped patchify stem
+    # (the flagship training configuration once universal-v3 holds its CER
+    # pins) and the reference-shaped conv3d stack (cross-round comparable).
     train_mfu = train_fps = None
+    train_mfu_conv3d = train_fps_conv3d = None
     try:
-        import tempfile
+        import importlib.util as _ilu
 
-        from lipreading_tpu.config import preset
-        from lipreading_tpu.data.dataset import Batch
-        from lipreading_tpu.flops import mfu as _mfu, train_step_flops
-        from lipreading_tpu.train.loop import Trainer
-
-        from lipreading_tpu.data.dataset import batch_to_device
-
-        tcfg = preset("transformer-attn")
-        Tc = 64
-        # device-resident batch, measured at the B=64 throughput knee: the
-        # metric is sustained step compute (what the chip does when the input
-        # pipeline keeps up). Feeding the batch per step would measure this
-        # harness's tunneled H2D (~50 MB/s; CLAUDE.md) instead of the TPU —
-        # 16x low. Round-2 sweep: B=8 21.1k fps / 8.0% MFU -> B=64 43.0k fps
-        # / 16.2% MFU (bf16).
-        B = 64
-        L = tcfg.data.max_chars
-        rng = np.random.default_rng(0)
-        batch = Batch(
-            rois_u8=rng.integers(0, 255, (B, Tc, 96, 96)).astype(np.uint8),
-            frame_lengths=np.full((B,), Tc, np.int32),
-            targets=np.pad(rng.integers(3, 30, (B, 12)).astype(np.int32),
-                           ((0, 0), (0, L - 12))),
-            target_lengths=np.full((B,), 12, np.int32),
-            ctc_labels=rng.integers(3, 30, (B, 14)).astype(np.int32),
-            ctc_lengths=np.full((B,), 14, np.int32),
-            texts=["x"] * B,
-        )
-        with tempfile.TemporaryDirectory() as d:
-            tr = Trainer(tcfg, d)
-            dev = batch_to_device(batch, tcfg.preprocess.normalize_mean,
-                                  tcfg.preprocess.normalize_std)
-            dev = jax.tree.map(jax.device_put, dev)
-            rkey = jax.random.PRNGKey(1)
-            params, opt = tr.params, tr.opt_state
-            params, opt, mm = tr._jit_step(params, opt, dev, rkey)  # compile
-            jax.block_until_ready(mm)
-            reps2 = 20
-            t0 = time.perf_counter()
-            for _ in range(reps2):
-                params, opt, mm = tr._jit_step(params, opt, dev, rkey)
-            jax.block_until_ready(mm)
-            dt = time.perf_counter() - t0
-        step_flops = train_step_flops(tcfg, B, Tc, 13)
-        train_fps = B * Tc * reps2 / dt
-        m = _mfu(step_flops * reps2 / dt, tcfg.model.dtype)
-        train_mfu = round(m, 4) if m is not None else None
+        _spec = _ilu.spec_from_file_location(
+            "bench_stem", os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "scripts", "bench_stem.py"))
+        _bs = _ilu.module_from_spec(_spec)
+        _spec.loader.exec_module(_bs)
+        r_patch = _bs.bench_stem("patchify", 64, 64, 13, 10)
+        r_conv = _bs.bench_stem("conv3d", 64, 64, 13, 10)
+        train_fps, train_mfu = r_patch["fps"], r_patch["mfu"]
+        train_fps_conv3d, train_mfu_conv3d = r_conv["fps"], r_conv["mfu"]
+        train_mfu = round(train_mfu, 4) if train_mfu else None
+        train_mfu_conv3d = (round(train_mfu_conv3d, 4)
+                            if train_mfu_conv3d else None)
     except Exception as e:
         print(f"# train MFU bench skipped: {e}", file=sys.stderr)
 
@@ -322,8 +309,16 @@ def main():
         "preprocess_conv_landmarker_fps": round(conv_fps, 1) if conv_fps else None,
         "e2e_video_to_transcript_fps": round(e2e_fps, 1) if e2e_fps else None,
         "e2e_flagship_fps": round(flagship_fps, 1) if flagship_fps else None,
+        "e2e_flagship_cascade_fps": (round(cascade_fps, 1)
+                                     if cascade_fps else None),
+        "cascade_rescored_frac": (round(cascade_rescored_frac, 3)
+                                  if cascade_rescored_frac is not None
+                                  else None),
         "train_step_fps": round(train_fps, 1) if train_fps else None,
         "train_step_mfu": train_mfu,
+        "train_step_fps_conv3d": (round(train_fps_conv3d, 1)
+                                  if train_fps_conv3d else None),
+        "train_step_mfu_conv3d": train_mfu_conv3d,
         "host_decode_fps": round(host_decode_fps, 1) if host_decode_fps else None,
         "pool_decode_fps": round(pool_decode_fps, 1) if pool_decode_fps else None,
         "pool_decode_workers": n_workers,

@@ -130,3 +130,27 @@ def lm_perplexity(table: np.ndarray, order: int, texts: list[str],
             n += 1
             ctx = (ctx * V + c) % mod
     return float(np.exp(-total / max(n, 1)))
+
+
+def lm_nll_per_char(table: np.ndarray, order: int, text: str,
+                    vocab: Vocab | None = None) -> float:
+    """Per-char negative log-likelihood of ONE string under the dense LM.
+
+    Host-side scorer for the cascade decoder's LM trigger
+    (infer.transcribe_cascade): a greedy transcript with high NLL (non-word
+    character sequences) is exactly the case where beam + LM fusion changes
+    the decode, which frame-level CTC margins cannot predict."""
+    vocab = vocab or Vocab()
+    V = vocab.size
+    ids = [vocab.sos_id] * (order - 1) + list(vocab.encode(text)) \
+        + [vocab.eos_id]
+    ctx = 0
+    for t in ids[: order - 1]:
+        ctx = ctx * V + t
+    mod = V ** (order - 1)
+    total, n = 0.0, 0
+    for c in ids[order - 1:]:
+        total += float(table[ctx, c])
+        n += 1
+        ctx = (ctx * V + c) % mod
+    return -total / max(n, 1)

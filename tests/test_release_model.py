@@ -76,3 +76,43 @@ def test_universal_release_covers_both_appearances():
             refs.append(clip.text)
     cer = corpus_cer(hyps, refs)
     assert cer < 0.25, (cer, list(zip(hyps, refs)))
+
+
+def test_cascade_matches_full_beam_on_release():
+    """Cascade decoding == full joint beam on release-eval clips at the
+    default margins, INCLUDING the one clip the beam corrects (seed
+    717171+11: greedy reads 'thir', the LM trigger routes it to the beam
+    which reads 'this'). Pinned so margin defaults cannot silently decay."""
+    import jax.numpy as jnp
+
+    from lipreading_tpu.fixtures import make_clip
+    from lipreading_tpu.infer import transcribe, transcribe_cascade
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+    from lipreading_tpu.ops.preprocess import preprocess_padded
+    from lipreading_tpu.preproc_training import load_assets, load_release_model
+
+    rel = load_release_model("transformer_hybrid_universal")
+    if rel is None:
+        pytest.skip("no universal release in assets/")
+    params, cfg = rel
+    det_np, ert_np = load_assets()
+    det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+
+    rois_l, lens = [], []
+    T_max = 0
+    for i in (2, 7, 11):        # easy clip, low-margin clip, beam-corrected
+        clip = make_clip(717171 + i, cfg.data)
+        r = preprocess_padded(det, ert, clip.frames, cfg.preprocess)
+        rois_l.append(r)
+        lens.append(r.shape[0])
+        T_max = max(T_max, r.shape[0])
+    P = -(-T_max // 64) * 64
+    rois = np.stack([np.pad(r, ((0, P - r.shape[0]), (0, 0), (0, 0)))
+                     for r in rois_l])
+    lens = jnp.asarray(lens)
+    full = transcribe(params, cfg, rois, lens, beam=8, lm_weight=0.4)
+    casc, n_res = transcribe_cascade(params, cfg, rois, lens, beam=8,
+                                     lm_weight=0.4, rescore_bucket=4)
+    assert casc == full, (casc, full)
+    assert 1 <= n_res < 3          # the trigger fires, but not on everything
