@@ -95,6 +95,11 @@ class TrainConfig:
     length_penalty: float = 0.6   # GNMT-style; 0 disables length norm
     max_decode_len: int = 48
     remat: bool = False           # jax.checkpoint the frontend to save HBM
+    # train-time ROI appearance augmentation strength (0 disables): per-
+    # sample gain/bias jitter + pixel noise on the normalized ROIs. Added
+    # round 3 for the patchify stem, whose non-overlapping patch embed is
+    # more appearance-sensitive than the conv stack's overlapping 5x5s.
+    roi_augment: float = 0.0
 
 
 @dataclass
@@ -226,6 +231,16 @@ def preset(name: str) -> Config:
             name="transformer-attn",
             encoder="transformer",
             decoder="hybrid",
+            train=TrainConfig(ctc_weight=0.3, att_weight=0.7),
+        ),
+        # config 4b (round 3): same model family behind the MXU-shaped
+        # patchify frontend — the flagship TRAINING configuration
+        # (43k -> 144k fps, MFU 16.2% -> 40.3% at B=64; docs/KERNELS.md)
+        "transformer-patchify": Config(
+            name="transformer-patchify",
+            encoder="transformer",
+            decoder="hybrid",
+            model=ModelConfig(frontend="patchify"),
             train=TrainConfig(ctc_weight=0.3, att_weight=0.7),
         ),
         # config 5: end-to-end DP training over ICI on v5e-8

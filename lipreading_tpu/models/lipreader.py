@@ -167,9 +167,22 @@ def compute_loss(params, cfg: Config, batch, train: bool = True, rng=None,
     """
     t = cfg.train
     k_enc = k_dec = None
+    rois = batch["rois"]
     if rng is not None and train:
         k_enc, k_dec = jax.random.split(rng)
-    enc = encode(params, cfg, batch["rois"], batch["frame_lengths"],
+        if t.roi_augment > 0.0:
+            # appearance jitter in normalized units: per-sample gain/bias
+            # (style/lighting shift) + light pixel noise. Deterministic in
+            # rng; eval/inference never sees it.
+            a = t.roi_augment
+            kg, kb, kn, k_enc = jax.random.split(k_enc, 4)
+            B = rois.shape[0]
+            shp = (B,) + (1,) * (rois.ndim - 1)
+            gain = 1.0 + a * jax.random.uniform(kg, shp, rois.dtype, -1, 1)
+            bias = 2.0 * a * jax.random.uniform(kb, shp, rois.dtype, -1, 1)
+            noise = 0.5 * a * jax.random.normal(kn, rois.shape, rois.dtype)
+            rois = rois * gain + bias + noise
+    enc = encode(params, cfg, rois, batch["frame_lengths"],
                  rng=k_enc, mesh=mesh)
     metrics = {}
     loss = 0.0

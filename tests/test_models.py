@@ -210,3 +210,20 @@ def test_cascade_decode_endpoints(batch):
     gi, gl = np.asarray(gi), np.asarray(gl)
     greedy = [vocab.decode(gi[b, : gl[b]]) for b in range(gi.shape[0])]
     assert lo == greedy
+
+
+def test_roi_augment_trains_and_is_train_only(batch):
+    """train.roi_augment jitters ROIs during training only: the train loss
+    changes vs augment=0, the eval loss is bit-identical."""
+    cfg = tiny(preset("bigru-ctc"))
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    cfg2 = preset("bigru-ctc")
+    cfg2 = tiny(cfg2)
+    cfg2.train.roi_augment = 0.2
+    rng = jax.random.PRNGKey(5)
+    l0 = float(compute_loss(params, cfg, batch, train=True, rng=rng)[0])
+    l1 = float(compute_loss(params, cfg2, batch, train=True, rng=rng)[0])
+    assert np.isfinite(l1) and l0 != l1
+    e0 = float(compute_loss(params, cfg, batch, train=False)[0])
+    e1 = float(compute_loss(params, cfg2, batch, train=False)[0])
+    assert e0 == e1
