@@ -70,7 +70,7 @@ def main(argv):
         init_model,
     )
     from lipreading_tpu.ops.ctc import ctc_loss_best
-    from lipreading_tpu.train.loop import Trainer, make_optimizer
+    from lipreading_tpu.train.loop import make_optimizer
 
     dtype = _act_dtype(cfg)
     m = cfg.model
@@ -97,34 +97,53 @@ def main(argv):
         rows.append((name, secs * 1e3, (mfu or 0.0) * 100))
         print(f"#   {name}: {secs * 1e3:.2f} ms", flush=True)
 
-    # --- full step (Trainer._jit_step: fwd + bwd + AdamW) ---
-    import tempfile
+    # --- full step (fwd + bwd + AdamW), K steps in ONE jitted fori_loop:
+    # per-dispatch timing over the axon tunnel is unreliable (CLAUDE.md) ---
+    batch = dict(
+        rois=rois.astype(dtype), frame_lengths=lengths, targets=targets,
+        target_lengths=tlen + 2, ctc_labels=labels, ctc_lengths=llen,
+    )
+    tx0 = make_optimizer(cfg)
+    opt0f = tx0.init(params)
 
-    with tempfile.TemporaryDirectory() as d:
-        tr = Trainer(cfg, d)
-        batch = dict(
-            rois=rois.astype(dtype), frame_lengths=lengths, targets=targets,
-            target_lengths=tlen + 2, ctc_labels=labels, ctc_lengths=llen,
-        )
-        # _jit_step donates params/opt_state: thread them through the loop
-        p, o = tr.params, tr.opt_state
-        p, o, mm = tr._jit_step(p, o, batch, key)          # compile
-        jax.block_until_ready(mm)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            p, o, mm = tr._jit_step(p, o, batch, key)
-        jax.block_until_ready(mm)
-        float(mm["loss"])                                   # real D2H
-        t_full = (time.perf_counter() - t0) / reps
-        row("full step", t_full, 3 * B * F.model_fwd_flops(cfg, T, L))
+    def one_step(p, o, k):
+        (loss, _), grads = jax.value_and_grad(
+            lambda q: compute_loss(q, cfg, batch, train=True, rng=k),
+            has_aux=True)(p)
+        updates, o = tx0.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    @jax.jit
+    def run_full(p, o):
+        def body(i, carry):
+            p, o, _ = carry
+            return one_step(p, o, jax.random.fold_in(key, i))
+        return jax.lax.fori_loop(0, reps, body, (p, o, jnp.zeros(())))
+
+    _, _, fl = run_full(params, opt0f)
+    jax.block_until_ready(fl)
+    t0 = time.perf_counter()
+    _, _, fl = run_full(params, opt0f)
+    float(fl)                                              # real D2H
+    t_full = (time.perf_counter() - t0) / reps
+    row("full step", t_full, 3 * B * F.model_fwd_flops(cfg, T, L))
 
     # --- frontend fwd+bwd (remat adds an extra fwd in bwd: 4x fwd total) ---
     fr_mult = 4 if cfg.train.remat else 3
 
+    if m.frontend == "patchify":
+        from lipreading_tpu.models.frontend3d import patchify_apply
+
+        def _fe_apply(q, r):
+            return patchify_apply(q, r, m, dtype)
+    else:
+        def _fe_apply(q, r):
+            return frontend_apply(q, r, dtype)
+
     @jax.jit
     def frontend_fb(fp, r):
         def loss(q):
-            return frontend_apply(q, r, dtype).astype(jnp.float32).sum()
+            return _fe_apply(q, r).astype(jnp.float32).sum()
 
         if cfg.train.remat:
             loss = jax.checkpoint(loss)
