@@ -78,6 +78,96 @@ def test_universal_release_covers_both_appearances():
     assert cer < 0.25, (cer, list(zip(hyps, refs)))
 
 
+def test_universal3_release_covers_both_appearances():
+    """Universal-v3 (patchify stem + train.roi_augment, same 1800-clip
+    merged corpus as v2 + conv-landmarker-path views) must keep covering
+    BOTH appearances. Measured at export (TPU, beam 8 + LM 0.4, seed
+    717171): canonical CER 0.0058 == v2's pin, styled(0.6)@24 clips CER
+    0.0120 vs v2's 0.0300 — the ROI augmentation recovers (and beats) the
+    appearance robustness the non-overlapping 8x8 patch embed lost in the
+    unaugmented v3 run (0.0420). This CPU gate: 2+2 clips, greedy."""
+    import jax.numpy as jnp
+
+    from lipreading_tpu.fixtures import make_clip
+    from lipreading_tpu.infer import transcribe
+    from lipreading_tpu.metrics import corpus_cer
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+    from lipreading_tpu.ops.preprocess import preprocess_padded
+    from lipreading_tpu.preproc_training import load_assets, load_release_model
+
+    rel = load_release_model("transformer_hybrid_universal3")
+    if rel is None:
+        pytest.skip("universal3 release not shipped")
+    params, cfg = rel
+    assert cfg.model.frontend == "patchify"      # the stem the release trains
+    det_np, ert_np = load_assets(variant="robust")
+    det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+
+    hyps, refs = [], []
+    for variation in (0.0, 0.6):
+        for i in range(2):
+            clip = make_clip(515151 + i, cfg.data, variation=variation)
+            rois = preprocess_padded(det, ert, clip.frames, cfg.preprocess)
+            T = rois.shape[0]
+            pad = -(-T // 64) * 64
+            rois = np.pad(rois, ((0, pad - T), (0, 0), (0, 0)))
+            hyps.append(transcribe(params, cfg, rois[None],
+                                   jnp.asarray([T]), beam=1)[0])
+            refs.append(clip.text)
+    cer = corpus_cer(hyps, refs)
+    assert cer < 0.25, (cer, list(zip(hyps, refs)))
+
+
+def test_conv_landmarker_downstream_gate():
+    """VERDICT r2 #4: the fast conv-landmarker path is gated on the metric
+    that matters — downstream transcript CER vs the ERT path behind the SAME
+    release model (SURVEY.md plan-B framing), not just landmark px error.
+    Measured at export (TPU, universal3, beam 8 + LM 0.4, seed 717171):
+    canonical ERT 0.0058 vs conv 0.0116; styled@24 robust-ERT 0.0120 vs
+    robust-conv 0.0300 — at 3.6x preprocessing throughput. This CPU pin:
+    greedy transcripts behind the two paths agree on held-out clips."""
+    import jax.numpy as jnp
+
+    from lipreading_tpu.fixtures import make_clip
+    from lipreading_tpu.infer import transcribe
+    from lipreading_tpu.metrics import corpus_cer
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+    from lipreading_tpu.ops.landmarker import params_to_jax as lmk_to_jax
+    from lipreading_tpu.ops.preprocess import preprocess_padded
+    from lipreading_tpu.preproc_training import (load_assets, load_landmarker,
+                                                 load_release_model)
+
+    rel = load_release_model("transformer_hybrid_universal3")
+    lm_np = load_landmarker()
+    if rel is None or lm_np is None:
+        pytest.skip("universal3 release or conv landmarker not shipped")
+    params, cfg = rel
+    det_np, ert_np = load_assets()
+    det = params_to_jax(det_np)
+    paths = {"ert": model_to_jax(ert_np), "conv": lmk_to_jax(lm_np)}
+
+    cers = {}
+    for name, lmk in paths.items():
+        # the landmarker is selected by cfg (ops/preprocess.py:63), the
+        # model object just has to match it
+        pcfg = cfg.override(**{"preprocess.landmarker": name}).preprocess
+        hyps, refs = [], []
+        for i in range(3):
+            clip = make_clip(424242 + i, cfg.data)
+            rois = preprocess_padded(det, lmk, clip.frames, pcfg)
+            T = rois.shape[0]
+            pad = -(-T // 64) * 64
+            rois = np.pad(rois, ((0, pad - T), (0, 0), (0, 0)))
+            hyps.append(transcribe(params, cfg, rois[None],
+                                   jnp.asarray([T]), beam=1)[0])
+            refs.append(clip.text)
+        cers[name] = corpus_cer(hyps, refs)
+    # the gate: the fast path may not degrade transcripts materially
+    assert cers["conv"] <= cers["ert"] + 0.05, cers
+
+
 def test_cascade_matches_full_beam_on_release():
     """Cascade decoding == full joint beam on release-eval clips at the
     default margins, INCLUDING the one clip the beam corrects (seed
