@@ -230,7 +230,7 @@ def transcribe_cascade(params, cfg: Config, rois, frame_lengths,
                        beam: int | None = None, vocab: Vocab | None = None,
                        lm_weight: float = 0.0, use_lexicon: bool = False,
                        margin: float = 8.0, lm_margin: float = 1.35,
-                       rescore_bucket: int = 8):
+                       oov_trigger: bool = True, rescore_bucket: int = 8):
     """Cascade decoding (VERDICT r2 weak #4: the quality config pays a 12x
     decode tax): CTC-greedy everything, then run the expensive joint/prefix
     beam (+LM/lexicon) ONLY on uncertain clips. Confident clips keep the
@@ -244,7 +244,13 @@ def transcribe_cascade(params, cfg: Config, rois, frame_lengths,
       NLL under the shipped char LM above ``lm_margin`` nats (non-word output —
       the case where LM fusion flips the decode but frame margins cannot
       see it; measured on the release eval set, the one beam-corrected clip
-      had the HIGHEST greedy LM NLL while its CTC margin was unremarkable).
+      had the HIGHEST greedy LM NLL while its CTC margin was unremarkable);
+    * out-of-lexicon word (``oov_trigger``, default on): the greedy
+      transcript contains a word outside the corpus lexicon. Short
+      non-words like 'tht'/'wen' (greedy dropping one letter) can slip
+      UNDER the char-LM NLL threshold because every bigram in them is
+      common — a closed-vocabulary membership test catches exactly the
+      beam-correctable misses that scores cannot.
 
     Returns (transcripts, n_rescored). At ``margin=inf`` every clip is
     rescored (== transcribe); at margin=0, lm_margin=inf none are
@@ -267,6 +273,12 @@ def transcribe_cascade(params, cfg: Config, rois, frame_lengths,
             lm_nll = np.asarray(
                 [lm_nll_per_char(table, order, t, vocab) for t in out])
             uncertain |= lm_nll > lm_margin
+    if oov_trigger:
+        from lipreading_tpu.fixtures import LEXICON
+
+        words = set(LEXICON)
+        uncertain |= np.asarray(
+            [any(w not in words for w in t.split()) for t in out])
     idx = np.nonzero(uncertain)[0]
     if beam > 1 and idx.size:
         # pad the uncertain set to a bucket multiple by repeating the last

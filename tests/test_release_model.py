@@ -168,11 +168,15 @@ def test_conv_landmarker_downstream_gate():
     assert cers["conv"] <= cers["ert"] + 0.05, cers
 
 
-def test_cascade_matches_full_beam_on_release():
+@pytest.mark.parametrize("release", ["transformer_hybrid_universal",
+                                     "transformer_hybrid_universal3"])
+def test_cascade_matches_full_beam_on_release(release):
     """Cascade decoding == full joint beam on release-eval clips at the
-    default margins, INCLUDING the one clip the beam corrects (seed
-    717171+11: greedy reads 'thir', the LM trigger routes it to the beam
-    which reads 'this'). Pinned so margin defaults cannot silently decay."""
+    default margins. For v2 this INCLUDES the one clip the beam corrects
+    (seed 717171+11: greedy reads 'thir', the LM trigger routes it to the
+    beam which reads 'this') — pinned so margin defaults cannot silently
+    decay. v3 (patchify) must preserve the equality under the same
+    margins, whatever its trigger rate."""
     import jax.numpy as jnp
 
     from lipreading_tpu.fixtures import make_clip
@@ -182,9 +186,9 @@ def test_cascade_matches_full_beam_on_release():
     from lipreading_tpu.ops.preprocess import preprocess_padded
     from lipreading_tpu.preproc_training import load_assets, load_release_model
 
-    rel = load_release_model("transformer_hybrid_universal")
+    rel = load_release_model(release)
     if rel is None:
-        pytest.skip("no universal release in assets/")
+        pytest.skip(f"no {release} release in assets/")
     params, cfg = rel
     det_np, ert_np = load_assets()
     det, ert = params_to_jax(det_np), model_to_jax(ert_np)
@@ -205,4 +209,14 @@ def test_cascade_matches_full_beam_on_release():
     casc, n_res = transcribe_cascade(params, cfg, rois, lens, beam=8,
                                      lm_weight=0.4, rescore_bucket=4)
     assert casc == full, (casc, full)
-    assert 1 <= n_res < 3          # the trigger fires, but not on everything
+    if release == "transformer_hybrid_universal":
+        assert 1 <= n_res < 3      # the trigger fires, but not on everything
+    else:
+        # v3's greedy errs on all three hard clips (single-letter drops:
+        # 'tht'/'whd'/'wen'); the triggers catch every one — perfect
+        # RECALL is the property that keeps casc == full. Measured on the
+        # full 12-clip eval set (r3): triggers fire on exactly the 8
+        # greedy-error clips, zero false positives, so the cascade
+        # degrades gracefully to full-beam cost only where greedy is
+        # actually wrong.
+        assert n_res == 3
