@@ -253,8 +253,8 @@ def transcribe_cascade(params, cfg: Config, rois, frame_lengths,
       beam-correctable misses that scores cannot.
 
     Returns (transcripts, n_rescored). At ``margin=inf`` every clip is
-    rescored (== transcribe); at margin=0, lm_margin=inf none are
-    (== pure greedy).
+    rescored (== transcribe); with every trigger off (margin=0,
+    lm_margin=inf, oov_trigger=False) none are (== pure greedy).
     """
     vocab = vocab or Vocab()
     beam = cfg.train.beam_width if beam is None else beam

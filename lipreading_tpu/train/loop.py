@@ -253,6 +253,22 @@ class Trainer:
             extra={"config": self.cfg.name},
         )
 
+    def warm_start(self, params) -> None:
+        """Initialize ONLY the params from a pretrained tree (fine-tuning):
+        fresh optimizer state, step 0, device placement identical to
+        ``__init__`` (TP shardings re-applied when the mesh has them). The
+        tree must match the model this trainer's config builds."""
+        if self._param_sharding is not None:
+            self.params = jax.device_put(params, self._param_sharding)
+        else:
+            self.params = replicate(params, self.mesh)
+        opt_state = self.tx.init(self.params)
+        if self._opt_sharding is not None:
+            self.opt_state = jax.device_put(opt_state, self._opt_sharding)
+        else:
+            self.opt_state = replicate(opt_state, self.mesh)
+        self.step = 0
+
     def restore(self, path: str | None = None) -> dict:
         """Resume from a checkpoint; returns the saved iterator state."""
         path = path or latest_checkpoint(self.ckpt_dir)

@@ -3,7 +3,11 @@
 
 Usage:
   python scripts/train.py preset=bigru-ctc workdir=runs/ctc \\
-      dataview=data/dataviews/train [steps=N] [resume=1] [fused=1] [key=value...]
+      dataview=data/dataviews/train [steps=N] [resume=1] [fused=1] \\
+      [init_from=<release asset name>] [key=value...]
+
+``init_from=`` warm-starts the params from a release checkpoint in assets/
+(fresh optimizer, step 0) — fine-tuning, e.g. re-weighting the hybrid loss.
 
 With fused=1 the dataview is ignored: training consumes raw fixture video
 frames and runs detection/landmarking/ROI on device inside the train step.
@@ -25,6 +29,7 @@ def main(argv):
     dataview_path = args.pop("dataview", None)
     steps = int(args.pop("steps", 0)) or None
     resume = args.pop("resume", "0") in ("1", "true")
+    init_from = args.pop("init_from", None)
     fused = args.pop("fused", "0") in ("1", "true")
     n_clips = int(args.pop("n_clips", 24))
     data_seed = int(args.pop("data_seed", 1))
@@ -105,6 +110,17 @@ def main(argv):
         ho_ds = BucketedDataset(ho_view, cfg.data)
         eval_batches = [ho_ds.make_batch(list(range(min(8, len(ho_ds)))))]
 
+    if init_from:
+        # warm-start fine-tuning: params from a release asset in assets/
+        # (fresh optimizer + step 0); the asset's model config must match
+        # the preset/overrides this run builds
+        from lipreading_tpu.preproc_training import load_release_model
+
+        rel = load_release_model(init_from)
+        if rel is None:
+            raise SystemExit(f"init_from: no release asset {init_from!r}")
+        trainer.warm_start(rel[0])
+        print(f"warm-started params from assets/{init_from}")
     if resume:
         state = trainer.restore()
         if state:

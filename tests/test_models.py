@@ -200,8 +200,11 @@ def test_cascade_decode_endpoints(batch):
                                   margin=float("inf"))
     assert hi == full and n_hi == batch["rois"].shape[0]
 
+    # pure-greedy endpoint: every trigger off (the OOV trigger would fire
+    # on this random-weight model's out-of-lexicon output)
     lo, n_lo = transcribe_cascade(params, cfg, batch["rois"],
-                                  batch["frame_lengths"], beam=3, margin=0.0)
+                                  batch["frame_lengths"], beam=3, margin=0.0,
+                                  oov_trigger=False)
     assert n_lo == 0
     vocab = Vocab()
     logp = ctc_log_probs(params, cfg, batch["rois"], batch["frame_lengths"])

@@ -101,6 +101,29 @@ def test_overfit_loss_decreases(dataview, tmp_path):
     assert losses[-1] < losses[0] * 0.5, losses[::10]
 
 
+def test_warm_start_finetune(dataview, tmp_path):
+    """warm_start seeds the params from a pretrained tree with a FRESH
+    optimizer at step 0 (scripts/train.py init_from=), and training
+    proceeds from those weights."""
+    import jax
+
+    cfg = tiny_cfg()
+    ds = BucketedDataset(dataview, cfg.data)
+    it = BatchIterator(ds, 2, seed=0)
+    tr = Trainer(cfg, str(tmp_path / "pre"))
+    for _ in range(3):
+        tr.train_step(next(it))
+    pretrained = jax.tree.map(np.asarray, tr.params)
+
+    tr2 = Trainer(cfg, str(tmp_path / "ft"), seed=123)   # different init
+    tr2.warm_start(pretrained)
+    assert tr2.step == 0
+    for a, b in zip(jax.tree.leaves(tr2.params), jax.tree.leaves(pretrained)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    m = tr2.train_step(next(BatchIterator(ds, 2, seed=0)))
+    assert np.isfinite(float(m["loss"]))
+
+
 @pytest.mark.slow
 def test_checkpoint_save_restore(dataview, tmp_path):
     import jax
