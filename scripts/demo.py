@@ -128,8 +128,10 @@ def main(argv):
         # sliding-window transcriber (streaming.py) and print growth
         from lipreading_tpu.streaming import StreamingTranscriber
 
+        # beam>1 streams beam-quality live tail AND commits (+optional LM)
         st = StreamingTranscriber(params, cfg, det, ert,
                                   window=64, decode_every=16,
+                                  beam=beam, lm_weight=lm_weight,
                                   presence=presence, tracked=tracked)
         t0 = time.perf_counter()
         for lo in range(0, len(frames), stream):
