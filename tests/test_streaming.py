@@ -282,6 +282,18 @@ def test_gap_flush_resets_context_at_shot_boundary(assets):
     assert e_f <= e_u + 1e-9, (flushed, unflushed, truth)
     assert e_f < 0.12, (flushed, truth)
 
+    # the flush composes with the beam-quality commit/tail path: after a
+    # flush the live-suffix offset (_ctx) resets, so the beam decode of the
+    # next segment must start clean rather than masking a stale prefix
+    st = StreamingTranscriber(params, cfg, det, ert, window=64,
+                              decode_every=16, chunk_bucket=16,
+                              presence=presence, tracked=True,
+                              gap_flush=25, beam=4, lm_weight=0.4)
+    for lo in range(0, frames.shape[0], 16):
+        st.feed(frames[lo:lo + 16])
+    beam_flushed = st.finish()
+    assert cer(beam_flushed, truth) < 0.12, (beam_flushed, truth)
+
 
 def test_beam_commits_beat_greedy_commits(assets):
     """VERDICT r2 weak #6 done-criterion: beam-quality commits are strictly
