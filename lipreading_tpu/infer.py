@@ -294,6 +294,66 @@ def transcribe_cascade(params, cfg: Config, rois, frame_lengths,
     return out, int(idx.size)
 
 
+def segment_valid_runs(valid, gap: int = 25) -> list[tuple[int, int]]:
+    """Split a frame-validity mask into shot segments.
+
+    A run of >= ``gap`` consecutive no-face frames is a shot boundary
+    (cutaway). Decoding one concatenation across a cut is
+    out-of-distribution for the batch model (measured: 0.10-0.23 CER on
+    2-clip cutaway streams where per-segment decode is exact — the encoder
+    attends across the cut), so each segment must decode within its own
+    shot, mirroring streaming's ``gap_flush``. Returns ``[start, end)``
+    spans over the ORIGINAL frame axis; a span may still contain short
+    invalid flickers, which the caller drops (skip-frame semantics).
+    ``gap <= 0`` disables splitting: one span covering all valid frames.
+    """
+    valid = np.asarray(valid).astype(bool)
+    idx = np.flatnonzero(valid)
+    if idx.size == 0:
+        return []
+    if gap <= 0:
+        return [(int(idx[0]), int(idx[-1]) + 1)]
+    segs = []
+    start = prev = int(idx[0])
+    for i in idx[1:]:
+        if int(i) - prev - 1 >= gap:
+            segs.append((start, prev + 1))
+            start = int(i)
+        prev = int(i)
+    segs.append((start, prev + 1))
+    return segs
+
+
+def transcribe_segmented(params, cfg: Config, rois, valid, gap: int = 25,
+                         bucket: int = 64, **decode_kw):
+    """Tracked batch decode with shot-boundary segmentation.
+
+    ``rois`` [N, R, R] and ``valid`` [N] come from
+    ``ops.preprocess.preprocess_padded_tracked`` over the original frame
+    axis. Segments split at >= ``gap`` invalid frames decode as ONE batched
+    ``transcribe`` call (invalid flickers inside a segment are compacted
+    out; segments pad to a shared ``bucket`` multiple so multi-shot videos
+    reuse the same compiled decode as equal-length batches). Returns
+    ``(text, [((start, end), segment_text), ...])`` — text joins the
+    segments with spaces (a cut is at least a word boundary).
+    """
+    valid = np.asarray(valid).astype(bool)
+    rois = np.asarray(rois)
+    segs = segment_valid_runs(valid, gap)
+    if not segs:
+        return "", []
+    seg_rois = [rois[lo:hi][valid[lo:hi]] for lo, hi in segs]
+    lens = [int(r.shape[0]) for r in seg_rois]
+    tmax = -(-max(lens) // bucket) * bucket
+    batch = np.zeros((len(segs), tmax) + rois.shape[1:], rois.dtype)
+    for i, r in enumerate(seg_rois):
+        batch[i, : r.shape[0]] = r
+    texts = transcribe(params, cfg, batch, np.asarray(lens, np.int32),
+                       **decode_kw)
+    text = " ".join(t for t in texts if t)
+    return text, list(zip(segs, texts))
+
+
 def transcribe(params, cfg: Config, rois, frame_lengths,
                beam: int | None = None, vocab: Vocab | None = None,
                lm_weight: float = 0.0, use_lexicon: bool = False) -> list[str]:

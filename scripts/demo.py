@@ -38,6 +38,9 @@ def main(argv):
     lm_weight = float(args.pop("lm_weight", 0.0))
     use_lexicon = args.pop("lexicon", "0") in ("1", "true")
     stream = int(args.pop("stream", 0))   # >0: online mode, chunk size
+    # shot-boundary split threshold for the tracked batch path (frames of
+    # consecutive no-face = a cut; 0 disables splitting)
+    gap_flush = int(args.pop("gap_flush", 25))
     # real-video input defaults to the robust tracked path (skip-frame
     # semantics — a cutaway yields a flagged gap, not garbage text); the
     # fixture path stays untracked so golden/bit-parity runs are unchanged.
@@ -150,6 +153,7 @@ def main(argv):
     t0 = time.perf_counter()
     import numpy as np
     if tracked:
+        from lipreading_tpu.infer import transcribe_segmented
         from lipreading_tpu.ops.preprocess import preprocess_padded_tracked
 
         rois, valid = preprocess_padded_tracked(det, presence, ert, frames,
@@ -158,17 +162,25 @@ def main(argv):
         if n_bad:
             print(f"  {n_bad}/{len(valid)} frames flagged no-face "
                   f"(skipped, not transcribed as garbage)")
-        rois = rois[valid]               # skip-frame semantics
-        if rois.shape[0] == 0:
+        # a >= gap_flush run of no-face frames is a shot boundary: decode
+        # each segment within its own shot (one-shot decode across a cut
+        # is OOD — same fix as streaming's gap_flush), batched in one call
+        hyp, segments = transcribe_segmented(
+            params, cfg, rois, valid, gap=gap_flush, beam=beam,
+            lm_weight=lm_weight, use_lexicon=use_lexicon)
+        if not segments:
             print("transcript: ''  (no confident face in any frame)")
             return
+        if len(segments) > 1:
+            for (lo, hi), text in segments:
+                print(f"  shot [{lo:4d}:{hi:4d}): {text!r}")
     else:
         rois = preprocess_padded(det, ert, frames, cfg.preprocess)
-    T = rois.shape[0]
-    padded = -(-T // 64) * 64
-    rois = np.pad(rois, ((0, padded - T), (0, 0), (0, 0)))
-    hyp = transcribe(params, cfg, rois[None], jnp.asarray([T]), beam=beam,
-                     lm_weight=lm_weight, use_lexicon=use_lexicon)[0]
+        T = rois.shape[0]
+        padded = -(-T // 64) * 64
+        rois = np.pad(rois, ((0, padded - T), (0, 0), (0, 0)))
+        hyp = transcribe(params, cfg, rois[None], jnp.asarray([T]), beam=beam,
+                         lm_weight=lm_weight, use_lexicon=use_lexicon)[0]
     dt = time.perf_counter() - t0
     print(f"transcript: {hyp!r}")
     if ref is not None:

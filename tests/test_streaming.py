@@ -338,3 +338,66 @@ def test_beam_commits_beat_greedy_commits(assets):
     g2 = cer(stream(frames, 1), truth)
     b2 = cer(stream(frames, 4), truth)
     assert b2 <= g2 + 1e-9, (b2, g2)
+
+
+def test_segment_valid_runs():
+    """Host-side shot segmentation of a validity mask (infer.py)."""
+    from lipreading_tpu.infer import segment_valid_runs as runs
+
+    v = np.zeros(10, bool)
+    assert runs(v) == []
+    v = np.ones(10, bool)
+    assert runs(v, gap=3) == [(0, 10)]
+    # gap exactly at threshold splits; below threshold (flicker) does not
+    v = np.ones(20, bool)
+    v[5:8] = False
+    assert runs(v, gap=3) == [(0, 5), (8, 20)]
+    assert runs(v, gap=4) == [(0, 20)]
+    # leading/trailing invalid frames are trimmed off the spans
+    v = np.zeros(20, bool)
+    v[4:8] = True
+    v[15:18] = True
+    assert runs(v, gap=5) == [(4, 8), (15, 18)]
+    # gap <= 0 disables splitting but still trims
+    assert runs(v, gap=0) == [(4, 18)]
+
+
+def test_segmented_batch_decode_beats_one_shot(assets):
+    """Batch analogue of gap_flush: a 2-clip video with a 40-frame cutaway
+    decodes per-shot via transcribe_segmented — at least as good as the
+    one-shot decode of the cross-cut concatenation (measured OOD:
+    0.10-0.23 CER where per-segment decode is exact), and close to truth."""
+    from lipreading_tpu.fixtures import make_clip, render_faceless_frames
+    from lipreading_tpu.infer import transcribe_segmented
+    from lipreading_tpu.metrics import cer
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+    from lipreading_tpu.ops.preprocess import preprocess_padded_tracked
+    from lipreading_tpu.preproc_training import load_presence, load_release_model
+
+    presence = load_presence()
+    rel = load_release_model("transformer_hybrid_universal")
+    if presence is None or rel is None:
+        pytest.skip("presence head or universal release missing")
+    params, cfg = rel
+    det_np, ert_np = assets
+    det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+    presence = {k: np.asarray(v) for k, v in presence.items()}
+
+    clips = [make_clip(5501 + i, cfg.data) for i in range(2)]
+    gap = render_faceless_frames(7, 40, cfg.data)
+    frames = np.concatenate([clips[0].frames, gap, clips[1].frames])
+    truth = " ".join(c.text for c in clips)
+
+    rois, valid = preprocess_padded_tracked(det, presence, ert, frames,
+                                            cfg.preprocess)
+    split, segs = transcribe_segmented(params, cfg, rois, valid, gap=25)
+    one_shot, segs1 = transcribe_segmented(params, cfg, rois, valid, gap=0)
+    assert len(segs) == 2 and len(segs1) == 1
+    # each segment's span sits inside its own shot
+    (a_lo, a_hi), (b_lo, b_hi) = segs[0][0], segs[1][0]
+    n0 = clips[0].frames.shape[0]
+    assert a_hi <= n0 and b_lo >= n0 + 40
+    e_split, e_one = cer(split, truth), cer(one_shot, truth)
+    assert e_split <= e_one + 1e-9, (split, one_shot, truth)
+    assert e_split < 0.12, (split, truth)
