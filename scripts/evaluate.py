@@ -4,7 +4,9 @@ checkpoint on held-out fixture clips, or on a dataview split.
 
 Usage:
   python scripts/evaluate.py preset=bigru-ctc workdir=runs/ctc \\
-      [ckpt=path] [n_clips=6] [seed=9090] [beam=8] [decode=ctc] [key=value...]
+      [ckpt=path] [n_clips=6] [seed=9090] [beam=8] [decode=ctc|cascade]
+      [key=value...]   (decode=cascade: batched greedy + trigger-gated
+                        beam rescoring — the serving path, infer.py)
   python scripts/evaluate.py workdir=runs/ctc dataview=path [split=val] ...
 """
 import os
@@ -95,31 +97,50 @@ def main(argv):
 
     if dataview_path:
         evaluate_dataview(params, cfg, dataview_path, split, beam,
-                          lm_weight=lm_weight, use_lexicon=use_lexicon)
+                          lm_weight=lm_weight, use_lexicon=use_lexicon,
+                          decode=decode)
         return
 
-    hyps, refs = [], []
+    roi_list, len_list, refs = [], [], []
     for i in range(n_clips):
         clip = make_clip(seed + i, cfg.data, variation=variation)
         # bucket-padded preprocessing + decode: one compile per bucket shape
         rois = preprocess_padded(det, ert, clip.frames, cfg.preprocess)
-        T = rois.shape[0]
-        padded = -(-T // 64) * 64
-        rois = np.pad(rois, ((0, padded - T), (0, 0), (0, 0)))
-        hyp = transcribe(
-            params, cfg, rois[None], jnp.asarray([T]), beam=beam,
-            lm_weight=lm_weight, use_lexicon=use_lexicon,
-        )[0]
-        hyps.append(hyp)
+        roi_list.append(rois)
+        len_list.append(rois.shape[0])
         refs.append(clip.text)
-        print(f"  clip {i}: cer={cer(hyp, clip.text):.3f} "
-              f"hyp={hyp!r} ref={clip.text!r}")
+    if decode == "cascade":
+        # serving path: ONE batched greedy pass, beam+LM rescoring only for
+        # trigger-flagged clips (infer.transcribe_cascade)
+        from lipreading_tpu.infer import transcribe_cascade
+
+        tmax = -(-max(len_list) // 64) * 64
+        batch = np.zeros((n_clips, tmax) + roi_list[0].shape[1:],
+                         roi_list[0].dtype)
+        for i, r in enumerate(roi_list):
+            batch[i, : r.shape[0]] = r
+        hyps, n_rescored = transcribe_cascade(
+            params, cfg, batch, jnp.asarray(len_list), beam=beam,
+            lm_weight=lm_weight, use_lexicon=use_lexicon)
+        print(f"  cascade: {n_rescored}/{n_clips} clips beam-rescored")
+    else:
+        hyps = []
+        for rois, T in zip(roi_list, len_list):
+            padded = -(-T // 64) * 64
+            rois = np.pad(rois, ((0, padded - T), (0, 0), (0, 0)))
+            hyps.append(transcribe(
+                params, cfg, rois[None], jnp.asarray([T]), beam=beam,
+                lm_weight=lm_weight, use_lexicon=use_lexicon,
+            )[0])
+    for i, (hyp, ref) in enumerate(zip(hyps, refs)):
+        print(f"  clip {i}: cer={cer(hyp, ref):.3f} "
+              f"hyp={hyp!r} ref={ref!r}")
     print(f"corpus CER={corpus_cer(hyps, refs):.4f} "
           f"WER={corpus_wer(hyps, refs):.4f}")
 
 
 def evaluate_dataview(params, cfg, dataview_path, split, beam,
-                      lm_weight=0.0, use_lexicon=False):
+                      lm_weight=0.0, use_lexicon=False, decode=None):
     """CER/WER over a clip-level split of a cached dataview.
 
     Decodes under the SAME knobs as the fixture path (beam / lm_weight /
@@ -146,6 +167,7 @@ def evaluate_dataview(params, cfg, dataview_path, split, beam,
     ds = BucketedDataset(view, cfg.data, indices=idx)
     hyps, refs = [], []
     B = 8
+    n_rescored = 0
     for lo in range(0, len(ds), B):
         take = list(range(lo, min(lo + B, len(ds))))
         n_real = len(take)
@@ -153,13 +175,25 @@ def evaluate_dataview(params, cfg, dataview_path, split, beam,
         b = ds.make_batch(take)
         dev = batch_to_device(b, cfg.preprocess.normalize_mean,
                               cfg.preprocess.normalize_std)
-        hyps.extend(transcribe(params, cfg, dev["rois"],
-                               dev["frame_lengths"], beam=beam,
-                               lm_weight=lm_weight,
-                               use_lexicon=use_lexicon)[:n_real])
+        if decode == "cascade":
+            from lipreading_tpu.infer import transcribe_cascade
+
+            sub, n_r = transcribe_cascade(
+                params, cfg, dev["rois"], dev["frame_lengths"], beam=beam,
+                lm_weight=lm_weight, use_lexicon=use_lexicon)
+            hyps.extend(sub[:n_real])
+            n_rescored += n_r
+        else:
+            hyps.extend(transcribe(params, cfg, dev["rois"],
+                                   dev["frame_lengths"], beam=beam,
+                                   lm_weight=lm_weight,
+                                   use_lexicon=use_lexicon)[:n_real])
         refs.extend(b.texts[:n_real])
+    extra = (f"  rescored={n_rescored}/{len(hyps)}"
+             if decode == "cascade" else "")
     print(f"{split} split: {len(hyps)} samples  "
-          f"CER={corpus_cer(hyps, refs):.4f} WER={corpus_wer(hyps, refs):.4f}")
+          f"CER={corpus_cer(hyps, refs):.4f} "
+          f"WER={corpus_wer(hyps, refs):.4f}{extra}")
 
 
 if __name__ == "__main__":

@@ -208,6 +208,13 @@ def test_evaluate_dataview_split_plumbing(dataview, capsys):
     mod.evaluate_dataview(params, cfg, dataview.path, "train", beam=1)
     out = capsys.readouterr().out
     assert "CER=" in out
+    # decode=cascade: the serving path (batched greedy + trigger-gated beam
+    # rescoring) is plumbed through dataview eval and reports its rescore
+    # count
+    mod.evaluate_dataview(params, cfg, dataview.path, "train", beam=4,
+                          decode="cascade")
+    out = capsys.readouterr().out
+    assert "CER=" in out and "rescored=" in out, out
     with pytest.raises(SystemExit, match="missing or empty"):
         mod.evaluate_dataview(params, cfg, dataview.path, "val", beam=1)
 
