@@ -325,7 +325,8 @@ def segment_valid_runs(valid, gap: int = 25) -> list[tuple[int, int]]:
 
 
 def transcribe_segmented(params, cfg: Config, rois, valid, gap: int = 25,
-                         bucket: int = 64, **decode_kw):
+                         bucket: int = 64, cascade: bool = False,
+                         **decode_kw):
     """Tracked batch decode with shot-boundary segmentation.
 
     ``rois`` [N, R, R] and ``valid`` [N] come from
@@ -348,8 +349,14 @@ def transcribe_segmented(params, cfg: Config, rois, valid, gap: int = 25,
     batch = np.zeros((len(segs), tmax) + rois.shape[1:], rois.dtype)
     for i, r in enumerate(seg_rois):
         batch[i, : r.shape[0]] = r
-    texts = transcribe(params, cfg, batch, np.asarray(lens, np.int32),
-                       **decode_kw)
+    if cascade:
+        # serving path: segments already form one batch — greedy everything,
+        # beam-rescore only trigger-flagged segments (transcribe_cascade)
+        texts, _ = transcribe_cascade(params, cfg, batch,
+                                      np.asarray(lens, np.int32), **decode_kw)
+    else:
+        texts = transcribe(params, cfg, batch, np.asarray(lens, np.int32),
+                           **decode_kw)
     text = " ".join(t for t in texts if t)
     return text, list(zip(segs, texts))
 

@@ -401,3 +401,7 @@ def test_segmented_batch_decode_beats_one_shot(assets):
     e_split, e_one = cer(split, truth), cer(one_shot, truth)
     assert e_split <= e_one + 1e-9, (split, one_shot, truth)
     assert e_split < 0.12, (split, truth)
+    # serving variant: cascade decode over the segment batch
+    split_c, _ = transcribe_segmented(params, cfg, rois, valid, gap=25,
+                                      cascade=True)
+    assert cer(split_c, truth) < 0.12, (split_c, truth)
