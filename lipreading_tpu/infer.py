@@ -230,7 +230,8 @@ def transcribe_cascade(params, cfg: Config, rois, frame_lengths,
                        beam: int | None = None, vocab: Vocab | None = None,
                        lm_weight: float = 0.0, use_lexicon: bool = False,
                        margin: float = 8.0, lm_margin: float = 1.35,
-                       oov_trigger: bool = True, rescore_bucket: int = 8):
+                       lm_min_chars: int = 4, oov_trigger: bool = True,
+                       rescore_bucket: int = 8, return_flags: bool = False):
     """Cascade decoding (VERDICT r2 weak #4: the quality config pays a 12x
     decode tax): CTC-greedy everything, then run the expensive joint/prefix
     beam (+LM/lexicon) ONLY on uncertain clips. Confident clips keep the
@@ -244,7 +245,12 @@ def transcribe_cascade(params, cfg: Config, rois, frame_lengths,
       NLL under the shipped char LM above ``lm_margin`` nats (non-word output —
       the case where LM fusion flips the decode but frame margins cannot
       see it; measured on the release eval set, the one beam-corrected clip
-      had the HIGHEST greedy LM NLL while its CTC margin was unremarkable);
+      had the HIGHEST greedy LM NLL while its CTC margin was unremarkable).
+      Applied only to transcripts of >= ``lm_min_chars`` chars: a correct
+      3-char single word ('she', 'way', 'how') has high per-char NLL from
+      its boundary transitions alone — measured on the 17-sample heldout
+      dataview, the un-gated trigger's 5 false positives were ALL such
+      words, while short non-words ('tht') stay caught by the OOV trigger;
     * out-of-lexicon word (``oov_trigger``, default on): the greedy
       transcript contains a word outside the corpus lexicon. Short
       non-words like 'tht'/'wen' (greedy dropping one letter) can slip
@@ -252,9 +258,12 @@ def transcribe_cascade(params, cfg: Config, rois, frame_lengths,
       common — a closed-vocabulary membership test catches exactly the
       beam-correctable misses that scores cannot.
 
-    Returns (transcripts, n_rescored). At ``margin=inf`` every clip is
-    rescored (== transcribe); with every trigger off (margin=0,
-    lm_margin=inf, oov_trigger=False) none are (== pure greedy).
+    Returns (transcripts, n_rescored) — or (transcripts, flags [B] bool)
+    when ``return_flags``, so a caller that padded the batch with
+    duplicate rows can count rescores over the real rows only. At
+    ``margin=inf`` every clip is rescored (== transcribe); with every
+    trigger off (margin=0, lm_margin=inf, oov_trigger=False) none are
+    (== pure greedy).
     """
     vocab = vocab or Vocab()
     beam = cfg.train.beam_width if beam is None else beam
@@ -272,7 +281,8 @@ def transcribe_cascade(params, cfg: Config, rois, frame_lengths,
             table, order = np.asarray(lm[0]), lm[1]
             lm_nll = np.asarray(
                 [lm_nll_per_char(table, order, t, vocab) for t in out])
-            uncertain |= lm_nll > lm_margin
+            long_enough = np.asarray([len(t) >= lm_min_chars for t in out])
+            uncertain |= (lm_nll > lm_margin) & long_enough
     if oov_trigger:
         from lipreading_tpu.fixtures import LEXICON
 
@@ -291,6 +301,8 @@ def transcribe_cascade(params, cfg: Config, rois, frame_lengths,
                          use_lexicon=use_lexicon)
         for k, b in enumerate(idx):
             out[int(b)] = sub[k]
+    if return_flags:
+        return out, uncertain
     return out, int(idx.size)
 
 

@@ -149,6 +149,8 @@ def evaluate_dataview(params, cfg, dataview_path, split, beam,
     repeating the last sample (keeps one compiled shape) and the duplicate
     hypotheses are dropped before scoring — no sample silently vanishes.
     """
+    import numpy as np
+
     from lipreading_tpu.data.dataset import BucketedDataset, batch_to_device
     from lipreading_tpu.data.dataview import Dataview, split_by_clip
     from lipreading_tpu.infer import transcribe
@@ -178,11 +180,14 @@ def evaluate_dataview(params, cfg, dataview_path, split, beam,
         if decode == "cascade":
             from lipreading_tpu.infer import transcribe_cascade
 
-            sub, n_r = transcribe_cascade(
+            sub, flags = transcribe_cascade(
                 params, cfg, dev["rois"], dev["frame_lengths"], beam=beam,
-                lm_weight=lm_weight, use_lexicon=use_lexicon)
+                lm_weight=lm_weight, use_lexicon=use_lexicon,
+                return_flags=True)
             hyps.extend(sub[:n_real])
-            n_rescored += n_r
+            # count rescores over the REAL rows only (the batch is padded
+            # to B by duplicating the last sample)
+            n_rescored += int(np.asarray(flags)[:n_real].sum())
         else:
             hyps.extend(transcribe(params, cfg, dev["rois"],
                                    dev["frame_lengths"], beam=beam,
