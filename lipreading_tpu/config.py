@@ -55,6 +55,12 @@ class ModelConfig:
     frontend_dim: int = 256       # feature dim fed to the encoder
     patch_size: int = 8           # patchify stem: space-to-depth patch edge
     patch_dim: int = 256          # patchify stem: embed/conv channel width
+    # per-FRAME GroupNorm statistics in the frontend: pad-bucket- and
+    # streaming-window-invariant features (models/nn.groupnorm docstring).
+    # Default off — the reference-shaped (torch-parity) behavior pools
+    # stats over time, padded frames included; weights trained one way must
+    # be decoded the same way.
+    framewise_norm: bool = False
     highway_layers: int = 2
     # bi-GRU encoder (ref: nn.GRU bidirectional)
     gru_hidden: int = 256

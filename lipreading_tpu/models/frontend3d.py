@@ -86,11 +86,15 @@ def patchify_apply(p, rois, cfg: ModelConfig, dtype=None, dropout_rng=None,
          jnp.concatenate([x[:, 1:], z], axis=1)],
         axis=-1,
     )
-    x = jax.nn.relu(nn.groupnorm(p["gn_e"], nn.dense(p["embed"], x, dtype=dtype)))
+    fw = cfg.framewise_norm
+    x = jax.nn.relu(nn.groupnorm(p["gn_e"], nn.dense(p["embed"], x, dtype=dtype),
+                                 framewise=fw))
     x = nn.maxpool3d(x.reshape(B, T, g, g, -1))
-    x = jax.nn.relu(nn.groupnorm(p["gnA"], nn.conv3d(p["convA"], x, dtype=dtype)))
+    x = jax.nn.relu(nn.groupnorm(p["gnA"], nn.conv3d(p["convA"], x, dtype=dtype),
+                                 framewise=fw))
     x = nn.maxpool3d(x)
-    x = jax.nn.relu(nn.groupnorm(p["gnB"], nn.conv3d(p["convB"], x, dtype=dtype)))
+    x = jax.nn.relu(nn.groupnorm(p["gnB"], nn.conv3d(p["convB"], x, dtype=dtype),
+                                 framewise=fw))
     x = x.reshape(B, T, -1)
     x = nn.dense(p["proj"], x, dtype=dtype)
     for hp in p["highway"]:
@@ -120,23 +124,26 @@ def frontend_init(key, cfg: ModelConfig):
     return p
 
 
-def frontend_apply(p, rois, dtype=None, dropout_rng=None, rate=0.0):
+def frontend_apply(p, rois, dtype=None, dropout_rng=None, rate=0.0,
+                   framewise_norm: bool = False):
     """[B, T, R, R] (or [B, T, R, R, 1]) -> [B, T, D] features.
 
     ``dropout_rng``: pass a key during training to enable dropout (rate from
-    ModelConfig); None disables (eval/inference).
+    ModelConfig); None disables (eval/inference). ``framewise_norm``: see
+    nn.groupnorm — default-off keeps torch-reference GroupNorm semantics
+    (the parity anchor).
     """
     if rois.ndim == 4:
         rois = rois[..., None]
     x = rois.astype(dtype or jnp.float32)
     x = nn.conv3d(p["conv0"], x, strides=(1, 2, 2), dtype=dtype)
-    x = jax.nn.relu(nn.groupnorm(p["gn0"], x))
+    x = jax.nn.relu(nn.groupnorm(p["gn0"], x, framewise=framewise_norm))
     x = nn.maxpool3d(x)
     x = nn.conv3d(p["conv1"], x, dtype=dtype)
-    x = jax.nn.relu(nn.groupnorm(p["gn1"], x))
+    x = jax.nn.relu(nn.groupnorm(p["gn1"], x, framewise=framewise_norm))
     x = nn.maxpool3d(x)
     x = nn.conv3d(p["conv2"], x, dtype=dtype)
-    x = jax.nn.relu(nn.groupnorm(p["gn2"], x))
+    x = jax.nn.relu(nn.groupnorm(p["gn2"], x, framewise=framewise_norm))
     x = nn.maxpool3d(x)
     B, T = x.shape[:2]
     x = x.reshape(B, T, -1)

@@ -83,7 +83,8 @@ def encode(params, cfg: Config, rois, frame_lengths, dtype=None, rng=None,
                                   dropout_rng=k, rate=rate)
     else:
         def _fe(fp, r, k):
-            return frontend_apply(fp, r, dtype, dropout_rng=k, rate=rate)
+            return frontend_apply(fp, r, dtype, dropout_rng=k, rate=rate,
+                                  framewise_norm=cfg.model.framewise_norm)
     if cfg.train.remat:
         # rematerialize the conv stack on the backward pass: trades ~20%
         # frontend FLOPs for not holding [B, T, 48, 48, C] activations in HBM.

@@ -59,20 +59,32 @@ def groupnorm_init(channels: int):
             "bias": jnp.zeros((channels,), jnp.float32)}
 
 
-def groupnorm(p, x, groups: int = 8, eps: float = 1e-5):
+def groupnorm(p, x, groups: int = 8, eps: float = 1e-5,
+              framewise: bool = False):
     """GroupNorm over the trailing channel axis of [..., C].
 
     Batch-independent (unlike the reference's BatchNorm3d), so per-device
     statistics under data parallelism need no cross-replica sync.
+
+    ``framewise`` (x: [B, T, ...spatial..., C]): statistics per (sample,
+    FRAME) instead of per sample. Default-off stats pool over the time
+    axis, so zero-padded frames dilute them and the valid frames' features
+    depend on how far the batch was padded (measured: CTC logits shift by
+    ~1 nat between pad buckets 64/128 and a release transcript flipped) —
+    exactly like the torch reference's GroupNorm, which the parity-gated
+    conv3d path must keep. Framewise stats make every frame's features a
+    function of that frame alone: pad-bucket- and streaming-window-
+    invariant by construction (cfg.model.framewise_norm).
     """
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     C = xf.shape[-1]
     g = math.gcd(groups, C)
-    # stats over (all spatial positions within sample, channels in group)
-    xg = xf.reshape(xf.shape[0], -1, g, C // g)       # [B, S, G, C/G]
-    mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = xg.var(axis=(1, 3), keepdims=True)
+    lead = xf.shape[:2] if framewise else xf.shape[:1]
+    xg = xf.reshape(*lead, -1, g, C // g)         # [B(,T), S, G, C/G]
+    ax = (len(lead), len(lead) + 2)               # (spatial, channel-in-group)
+    mean = xg.mean(axis=ax, keepdims=True)
+    var = xg.var(axis=ax, keepdims=True)
     y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(xf.shape)
     return (y * p["scale"] + p["bias"]).astype(orig_dtype)
 

@@ -230,3 +230,40 @@ def test_roi_augment_trains_and_is_train_only(batch):
     e0 = float(compute_loss(params, cfg, batch, train=False)[0])
     e1 = float(compute_loss(params, cfg2, batch, train=False)[0])
     assert e0 == e1
+
+
+@pytest.mark.parametrize("frontend", ["conv3d", "patchify"])
+def test_framewise_norm_pad_invariance(frontend):
+    """cfg.model.framewise_norm: per-frame GroupNorm statistics make valid
+    frames' CTC log-probs INVARIANT to the pad bucket. Default-off stats
+    pool over the time axis (torch-reference semantics, the parity
+    anchor) — measured on the releases: logits shift ~1 nat between pad
+    buckets 64/128 and a v3 transcript flipped, because zero-padded frames
+    dilute the statistics."""
+    from lipreading_tpu.infer import ctc_log_probs
+
+    cfg = tiny(preset("bigru-ctc" if frontend == "conv3d"
+                      else "transformer-patchify"))
+    cfg.model.frontend = frontend
+    cfg.model.framewise_norm = True
+    params = init_model(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(1)
+    T = 12
+    rois = rng.normal(0, 1, (1, T, 96, 96)).astype(np.float32)
+
+    def logp(P, c):
+        rp = np.zeros((1, P, 96, 96), np.float32)
+        rp[:, :T] = rois
+        return np.asarray(ctc_log_probs(params, c, jnp.asarray(rp),
+                                        jnp.asarray([T])))[0, :T]
+
+    a, b = logp(16, cfg), logp(48, cfg)
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-4)
+
+    # default-off reproduces the time-pooled (pad-sensitive) semantics
+    import dataclasses as dc
+
+    cfg_off = dc.replace(cfg, model=dc.replace(cfg.model,
+                                               framewise_norm=False))
+    a0, b0 = logp(16, cfg_off), logp(48, cfg_off)
+    assert np.abs(a0 - b0).max() > 1e-6
