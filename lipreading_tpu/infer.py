@@ -361,18 +361,28 @@ def transcribe_segmented(params, cfg: Config, rois, valid, gap: int = 25,
         return "", []
     seg_rois = [rois[lo:hi][valid[lo:hi]] for lo, hi in segs]
     lens = [int(r.shape[0]) for r in seg_rois]
-    tmax = -(-max(lens) // bucket) * bucket
-    batch = np.zeros((len(segs), tmax) + rois.shape[1:], rois.dtype)
-    for i, r in enumerate(seg_rois):
-        batch[i, : r.shape[0]] = r
-    if cascade:
-        # serving path: segments already form one batch — greedy everything,
-        # beam-rescore only trigger-flagged segments (transcribe_cascade)
-        texts, _ = transcribe_cascade(params, cfg, batch,
-                                      np.asarray(lens, np.int32), **decode_kw)
-    else:
-        texts = transcribe(params, cfg, batch, np.asarray(lens, np.int32),
-                           **decode_kw)
+    # segments group by their length bucket before batching: padding a
+    # short segment out to a long segment's bucket shifts its features
+    # under the releases' time-pooled GroupNorm (nn.groupnorm docstring) —
+    # same-bucket batches match how the models train and evaluate
+    buckets: dict[int, list[int]] = {}
+    for i, L in enumerate(lens):
+        buckets.setdefault(-(-L // bucket) * bucket, []).append(i)
+    texts = [""] * len(segs)
+    for tb, idxs in sorted(buckets.items()):
+        batch = np.zeros((len(idxs), tb) + rois.shape[1:], rois.dtype)
+        for k, i in enumerate(idxs):
+            batch[k, : lens[i]] = seg_rois[i]
+        blens = np.asarray([lens[i] for i in idxs], np.int32)
+        if cascade:
+            # serving path: greedy everything, beam-rescore only
+            # trigger-flagged segments (transcribe_cascade)
+            sub, _ = transcribe_cascade(params, cfg, batch, blens,
+                                        **decode_kw)
+        else:
+            sub = transcribe(params, cfg, batch, blens, **decode_kw)
+        for k, i in enumerate(idxs):
+            texts[i] = sub[k]
     text = " ".join(t for t in texts if t)
     return text, list(zip(segs, texts))
 

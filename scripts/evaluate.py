@@ -110,18 +110,31 @@ def main(argv):
         len_list.append(rois.shape[0])
         refs.append(clip.text)
     if decode == "cascade":
-        # serving path: ONE batched greedy pass, beam+LM rescoring only for
-        # trigger-flagged clips (infer.transcribe_cascade)
+        # serving path: batched greedy pass, beam+LM rescoring only for
+        # trigger-flagged clips (infer.transcribe_cascade). Clips group by
+        # their 64-frame length bucket: a mixed-bucket batch pads short
+        # clips far past their length, and the releases' time-pooled
+        # GroupNorm makes features pad-dependent (nn.groupnorm docstring) —
+        # training, dataview eval, and serving all batch same-bucket clips
         from lipreading_tpu.infer import transcribe_cascade
 
-        tmax = -(-max(len_list) // 64) * 64
-        batch = np.zeros((n_clips, tmax) + roi_list[0].shape[1:],
-                         roi_list[0].dtype)
-        for i, r in enumerate(roi_list):
-            batch[i, : r.shape[0]] = r
-        hyps, n_rescored = transcribe_cascade(
-            params, cfg, batch, jnp.asarray(len_list), beam=beam,
-            lm_weight=lm_weight, use_lexicon=use_lexicon)
+        buckets = {}
+        for i, L in enumerate(len_list):
+            buckets.setdefault(-(-L // 64) * 64, []).append(i)
+        hyps = [None] * n_clips
+        n_rescored = 0
+        for tb, idxs in sorted(buckets.items()):
+            batch = np.zeros((len(idxs), tb) + roi_list[0].shape[1:],
+                             roi_list[0].dtype)
+            for k, i in enumerate(idxs):
+                batch[k, : len_list[i]] = roi_list[i]
+            sub, n_r = transcribe_cascade(
+                params, cfg, batch,
+                jnp.asarray([len_list[i] for i in idxs]), beam=beam,
+                lm_weight=lm_weight, use_lexicon=use_lexicon)
+            for k, i in enumerate(idxs):
+                hyps[i] = sub[k]
+            n_rescored += n_r
         print(f"  cascade: {n_rescored}/{n_clips} clips beam-rescored")
     else:
         hyps = []
