@@ -111,16 +111,24 @@ def main(argv):
         eval_batches = [ho_ds.make_batch(list(range(min(8, len(ho_ds)))))]
 
     if init_from:
-        # warm-start fine-tuning: params from a release asset in assets/
-        # (fresh optimizer + step 0); the asset's model config must match
-        # the preset/overrides this run builds
-        from lipreading_tpu.preproc_training import load_release_model
+        # warm-start fine-tuning: params from a release asset in assets/ or
+        # a checkpoint .msgpack path (fine-tune chaining); fresh optimizer +
+        # step 0 either way. The source's model tree must match the
+        # preset/overrides this run builds.
+        if os.path.exists(init_from):
+            from lipreading_tpu.train.checkpoint import load_checkpoint
 
-        rel = load_release_model(init_from)
-        if rel is None:
-            raise SystemExit(f"init_from: no release asset {init_from!r}")
-        trainer.warm_start(rel[0])
-        print(f"warm-started params from assets/{init_from}")
+            _, p0, _, _, _ = load_checkpoint(init_from, trainer.params)
+            trainer.warm_start(p0)
+            print(f"warm-started params from {init_from}")
+        else:
+            from lipreading_tpu.preproc_training import load_release_model
+
+            rel = load_release_model(init_from)
+            if rel is None:
+                raise SystemExit(f"init_from: no release asset {init_from!r}")
+            trainer.warm_start(rel[0])
+            print(f"warm-started params from assets/{init_from}")
     if resume:
         state = trainer.restore()
         if state:
