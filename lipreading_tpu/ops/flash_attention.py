@@ -37,9 +37,14 @@ logsumexp. TWO backward implementations exist, selected by ``bwd``:
   grid-step overhead), and it is the ONLY option once B·H·T² grad
   buffers blow HBM: measured at T=16384 (B=2, H=8), einsum fails to
   compile (HBM OOM) while the Pallas pair runs fwd+bwd in ~0.3 s.
+* ``"fused"`` — single-sweep variant of "pallas": dq is computed in the
+  same (k, q) block visit as dk/dv (5 matmuls per block pair instead of
+  the two-pass 7, and one grid instead of two), accumulated in a
+  full-length [Tp, D] fp32 VMEM scratch. The scratch caps T (~16k at
+  D=128); above the cap it silently falls back to the two-pass pair.
 * ``"auto"`` (default) — "xla" below T=2048, "pallas" at/above.
 
-Parity vs jax.vjp of the einsum formulation is test-pinned for both
+Parity vs jax.vjp of the einsum formulation is test-pinned for all three
 (values and all three gradients; CPU exact, TPU rel ~4e-5 at highest).
 """
 
@@ -305,6 +310,147 @@ def _bwd_dkv_kernel(len_ref, q_ref, do_ref, dd_ref, lse_ref, k_ref, v_ref,
         dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(len_ref, q_ref, do_ref, dd_ref, lse_ref, k_ref, v_ref,
+                      dq_ref, dk_ref, dv_ref, dq_sc, dk_sc, dv_sc, *,
+                      heads: int, scale: float):
+    """Single-sweep backward (VERDICT r2 #9): dq fused into the dk/dv pass.
+
+    Grid (batch*head, k-block, q-block) — one visit per (k, q) block pair
+    computes ALL of dv/dk/dq from one s/p rematerialization (5 matmuls vs
+    the two-pass kernels' 7: s and dp are no longer recomputed in a second
+    sweep, and the grid runs once instead of twice).
+
+    dk/dv accumulate in per-block VMEM scratch across the q steps (written
+    at qi == nq-1, exactly like _bwd_dkv_kernel). dq needs the transposed
+    accumulation — across the OUTER k axis — so it rides a full-length
+    [Tp, D] fp32 scratch, sliced per q-block: initialized on the kj == 0
+    sweep, accumulated on later sweeps, written out on the last (this also
+    re-initializes naturally when bh advances). The scratch is what caps
+    this kernel's T (~16k at D=128 in 16 MB VMEM); _flash_bwd_impl falls
+    back to the two-pass pair above the cap.
+
+    k/v/dk/dv: [1, Bk, D]; q/do/dq: [1, Bq, D]; dd/lse: [1, Bq, 128]
+    (per-row delta = rowsum(dO*O) and logsumexp, lane-broadcast)."""
+    bh, kj, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nq, nk = pl.num_programs(2), pl.num_programs(1)
+    length = len_ref[bh // heads]
+    Bq = q_ref.shape[1]
+    Bk = k_ref.shape[1]
+
+    @pl.when(qi == 0)
+    def _():
+        dk_sc[:] = jnp.zeros_like(dk_sc)
+        dv_sc[:] = jnp.zeros_like(dv_sc)
+
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    kpos = kj * Bk + jax.lax.broadcasted_iota(jnp.int32, (1, Bk), 1)
+    kvalid = kpos < length                                 # [1, Bk]
+    q_blk = q_ref[0].astype(jnp.float32)
+    do_blk = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]                                # [Bq, 1]
+    delta = dd_ref[0][:, :1]
+    s = jax.lax.dot_general(
+        q_blk, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                              # [Bq, Bk]
+    s = jnp.where(kvalid, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dv_sc[:] = dv_sc[:] + jax.lax.dot_general(
+        p, do_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # [Bk, D]
+    dp = jax.lax.dot_general(
+        do_blk, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)                                  # [Bq, Bk]
+    dk_sc[:] = dk_sc[:] + jax.lax.dot_general(
+        ds, q_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_row = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # [Bq, D]
+    rows = pl.ds(qi * Bq, Bq)
+
+    @pl.when(kj == 0)
+    def _():
+        dq_sc[rows] = dq_row
+
+    @pl.when(kj > 0)
+    def _():
+        dq_sc[rows] = dq_sc[rows] + dq_row
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0] = (dk_sc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
+
+    @pl.when(kj == nk - 1)
+    def _():
+        dq_ref[0] = (dq_sc[rows] * scale).astype(dq_ref.dtype)
+
+
+# the fused backward's dq scratch is [Tp, Dp] fp32 — cap it well under the
+# ~16 MB/core VMEM so blocks + dk/dv scratch still fit (measured headroom,
+# not a hardware constant)
+FUSED_DQ_SCRATCH_CAP = 8 * 1024 * 1024
+
+
+def _flash_bwd_fused_impl(q, k, v, lengths, out, lse, g, block_q: int,
+                          block_k: int, interpret: bool | None):
+    """Single-sweep blockwise backward (see _bwd_fused_kernel)."""
+    B, T, H, Dh = q.shape
+    scale = 1.0 / math.sqrt(Dh)
+    if interpret is None:
+        interpret = _interpret()
+    Dp, bq, bk, Tp = _pad_geometry(T, Dh, block_q, block_k)
+    qf, kf, vf = _prep(q, Tp, Dp), _prep(k, Tp, Dp), _prep(v, Tp, Dp)
+    of, gf = _prep(out, Tp, Dp), _prep(g, Tp, Dp)
+    delta = (gf * of).sum(axis=-1)                         # [BH, Tp]
+    ddf = jnp.broadcast_to(delta[:, :, None], (B * H, Tp, 128))
+    lsef = jnp.broadcast_to(lse[:, :, None], (B * H, Tp, 128))
+
+    kblk = lambda bh, kj, qi, *_: (bh, kj, 0)   # grid: (bh, k, q)
+    qblk = lambda bh, kj, qi, *_: (bh, qi, 0)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, heads=H, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B * H, Tp // bk, Tp // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, Dp), qblk),    # q (streamed)
+                pl.BlockSpec((1, bq, Dp), qblk),    # dO (streamed)
+                pl.BlockSpec((1, bq, 128), qblk),   # delta (streamed)
+                pl.BlockSpec((1, bq, 128), qblk),   # lse (streamed)
+                pl.BlockSpec((1, bk, Dp), kblk),    # k
+                pl.BlockSpec((1, bk, Dp), kblk),    # v
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bq, Dp), qblk),
+                pl.BlockSpec((1, bk, Dp), kblk),
+                pl.BlockSpec((1, bk, Dp), kblk),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Tp, Dp), jnp.float32),  # dq accumulator
+                pltpu.VMEM((bk, Dp), jnp.float32),  # dk accumulator
+                pltpu.VMEM((bk, Dp), jnp.float32),  # dv accumulator
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Tp, Dp), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Tp, Dp), k.dtype),
+            jax.ShapeDtypeStruct((B * H, Tp, Dp), v.dtype),
+        ],
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), qf, gf, ddf, lsef, kf, vf)
+
+    return (_unprep(dq, B, T, H, Dh), _unprep(dk, B, T, H, Dh),
+            _unprep(dv, B, T, H, Dh))
+
+
 def _flash_bwd_impl(q, k, v, lengths, out, lse, g, block_q: int,
                     block_k: int, interpret: bool | None):
     """Blockwise backward. lse: [B*H, Tp] from the training forward."""
@@ -411,7 +557,7 @@ def flash_attention(q, k, v, lengths, block_q: int = 256, block_k: int = 256,
 
 
 def _flash_fwd(q, k, v, lengths, block_q, block_k, interpret, bwd):
-    use_pallas = bwd == "pallas" or (
+    use_pallas = bwd in ("pallas", "fused") or (
         bwd == "auto" and q.shape[1] >= PALLAS_BWD_MIN_T
     )
     if use_pallas:
@@ -428,8 +574,11 @@ def _flash_bwd(block_q, block_k, interpret, bwd, res, g):
         # fully-masked samples emit zeros in the forward; gating g zeroes
         # their (linear-in-g) dq/dk/dv the same way the einsum vjp does
         g = g * (lengths > 0).astype(g.dtype)[:, None, None, None]
-        dq, dk, dv = _flash_bwd_impl(q, k, v, lengths, out, lse, g, block_q,
-                                     block_k, interpret)
+        Dp, _, _, Tp = _pad_geometry(q.shape[1], q.shape[3], block_q, block_k)
+        use_fused = bwd == "fused" and Tp * Dp * 4 <= FUSED_DQ_SCRATCH_CAP
+        impl = _flash_bwd_fused_impl if use_fused else _flash_bwd_impl
+        dq, dk, dv = impl(q, k, v, lengths, out, lse, g, block_q,
+                          block_k, interpret)
         return dq, dk, dv, None
     _, vjp = jax.vjp(_reference_attend, q, k, v, lengths)
     dq, dk, dv, _ = vjp(g)

@@ -43,14 +43,15 @@ def test_flash_odd_shapes_and_default_blocks():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_flash_gradients_match():
+@pytest.mark.parametrize("bwd", ["pallas", "fused"])
+def test_flash_gradients_match(bwd):
     q, k, v = _qkv(T=24)
     ln = jnp.asarray([24, 15], jnp.int32)
     w = jnp.asarray(np.random.default_rng(9).normal(0, 1, q.shape), jnp.float32)
 
     def loss_flash(q, k, v):
         return (flash_attention(q, k, v, ln, block_q=8, block_k=8,
-                                bwd="pallas") * w).sum()
+                                bwd=bwd) * w).sum()
 
     def loss_ref(q, k, v):
         return (_reference_attend(q, k, v, ln) * w).sum()
@@ -74,7 +75,7 @@ def test_flash_gradients_match_odd_shapes():
         return (_reference_attend(q, k, v, ln) * w).sum()
 
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-    for bwd in ("xla", "pallas"):
+    for bwd in ("xla", "pallas", "fused"):
         def loss_flash(q, k, v):
             return (flash_attention(q, k, v, ln, bwd=bwd) * w).sum()
 
@@ -82,6 +83,28 @@ def test_flash_gradients_match_odd_shapes():
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=2e-5)
+
+
+def test_flash_fused_bwd_cap_falls_back(monkeypatch):
+    """bwd="fused" above the dq-scratch cap silently uses the two-pass
+    kernels — same gradients, no error."""
+    from lipreading_tpu.ops import flash_attention as fa
+
+    q, k, v = _qkv(T=24)
+    ln = jnp.asarray([24, 15], jnp.int32)
+    w = jnp.asarray(np.random.default_rng(13).normal(0, 1, q.shape),
+                    jnp.float32)
+
+    def loss(q, k, v):
+        return (fa.flash_attention(q, k, v, ln, block_q=8, block_k=8,
+                                   bwd="fused") * w).sum()
+
+    g_fused = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setattr(fa, "FUSED_DQ_SCRATCH_CAP", 0)
+    g_fallback = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fused, g_fallback):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
 
 
 def _enc_setup(seed=0):
