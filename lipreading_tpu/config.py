@@ -81,6 +81,10 @@ class ModelConfig:
     # memory instead of materializing [B, H, T, T] scores (ops/flash_
     # attention.py). Same math (parity test-pinned); enable for long clips.
     flash_attention: bool = False
+    # Backward policy for the flash kernel: "auto" (einsum remat below
+    # T=2048, Pallas two-pass pair above), "xla", "pallas", or "fused"
+    # (single-sweep dq+dk+dv — falls back to the pair above its VMEM cap).
+    flash_bwd: str = "auto"
 
 
 @dataclass

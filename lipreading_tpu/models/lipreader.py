@@ -113,7 +113,8 @@ def encode(params, cfg: Config, rois, frame_lengths, dtype=None, rng=None,
     return tf.encoder_apply(params["encoder"], feats, frame_lengths,
                             cfg.model.tf_heads, dtype=dtype,
                             dropout_rng=k2, rate=rate,
-                            flash=cfg.model.flash_attention)
+                            flash=cfg.model.flash_attention,
+                            flash_bwd=cfg.model.flash_bwd)
 
 
 def ctc_logits(params, enc, dtype=None):

@@ -56,10 +56,11 @@ def mha(p, q_in, kv_in, mask, heads: int, dtype=None):
     return nn.dense(p["o"], out, dtype)
 
 
-def mha_flash(p, x, lengths, heads: int, dtype=None):
+def mha_flash(p, x, lengths, heads: int, dtype=None, bwd: str = "auto"):
     """Encoder self-attention through the Pallas flash kernel: identical
     projections to mha(), the softmax/weighted-sum core streamed blockwise
-    (ops/flash_attention.py) so [B, H, T, T] never materializes."""
+    (ops/flash_attention.py) so [B, H, T, T] never materializes.
+    ``bwd`` selects the backward policy (cfg.model.flash_bwd)."""
     from lipreading_tpu.ops.flash_attention import flash_attention
 
     B, T, D = x.shape
@@ -67,7 +68,7 @@ def mha_flash(p, x, lengths, heads: int, dtype=None):
     q = nn.dense(p["q"], x, dtype).reshape(B, T, heads, Dh)
     k = nn.dense(p["k"], x, dtype).reshape(B, T, heads, Dh)
     v = nn.dense(p["v"], x, dtype).reshape(B, T, heads, Dh)
-    out = flash_attention(q, k, v, lengths).reshape(B, T, D)
+    out = flash_attention(q, k, v, lengths, bwd=bwd).reshape(B, T, D)
     return nn.dense(p["o"], out, dtype)
 
 
@@ -113,11 +114,13 @@ def encoder_init(key, cfg: ModelConfig, in_dim: int):
 
 
 def encoder_apply(p, x, lengths, heads: int, dtype=None,
-                  dropout_rng=None, rate=0.0, flash: bool = False):
+                  dropout_rng=None, rate=0.0, flash: bool = False,
+                  flash_bwd: str = "auto"):
     """[B, T, in] -> [B, T, tf_dim]; self-attention masked to valid frames.
 
     ``flash=True`` streams the attention core through the Pallas flash
-    kernel (cfg.model.flash_attention) — same math, O(T·Dh) memory."""
+    kernel (cfg.model.flash_attention) — same math, O(T·Dh) memory;
+    ``flash_bwd`` picks its backward policy (cfg.model.flash_bwd)."""
     B, T, _ = x.shape
     det = dropout_rng is None
 
@@ -132,7 +135,8 @@ def encoder_apply(p, x, lengths, heads: int, dtype=None,
     mask = valid[:, None, None, :]                         # [B, 1, 1(Tq), Tk]
     for i, lp in enumerate(p["layers"]):
         hn = nn.layernorm(lp["ln1"], h)
-        attn = (mha_flash(lp["attn"], hn, lengths, heads, dtype) if flash
+        attn = (mha_flash(lp["attn"], hn, lengths, heads, dtype,
+                          bwd=flash_bwd) if flash
                 else mha(lp["attn"], hn, hn, mask, heads, dtype))
         h = h + drop(keys[2 * i], attn)
         h = h + drop(keys[2 * i + 1],

@@ -130,6 +130,24 @@ def test_encoder_flash_flag_matches():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_encoder_flash_bwd_config_knob():
+    """cfg.model.flash_bwd threads to the kernel: encoder grads under
+    flash_bwd="fused" match the einsum encoder's."""
+    cfg, params, x = _enc_setup()
+    lengths = jnp.asarray([32, 21], jnp.int32)
+
+    def loss(p, flash, bwd):
+        out = tf.encoder_apply(p, x, lengths, cfg.model.tf_heads,
+                               flash=flash, flash_bwd=bwd)
+        return (out * out).sum()
+
+    g_ref = jax.grad(loss)(params, False, "auto")
+    g_fused = jax.grad(loss)(params, True, "fused")
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-5)
+
+
 @pytest.mark.slow
 def test_end_to_end_flash_training_step():
     """compute_loss under jit with cfg.model.flash_attention: value + grads
