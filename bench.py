@@ -7,6 +7,10 @@ BASELINE's target is vs_baseline >= 10).
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+BENCH_SMOKE=1 shrinks every section (fewer clips/reps/steps, small
+batches) so a CPU run validates all code paths in minutes; the numbers it
+prints are NOT benchmarks. The driver runs the default (full) sizes.
 """
 
 import json
@@ -32,6 +36,7 @@ def main():
     from lipreading_tpu.preproc_training import load_assets
 
     backend = jax.default_backend()
+    smoke = bool(os.environ.get("BENCH_SMOKE"))
     det_np, ert_np = load_assets()
     det, ert = params_to_jax(det_np), model_to_jax(ert_np)
     pre_cfg = PreprocessConfig()
@@ -40,9 +45,9 @@ def main():
     # number stays at n=512 (comparable across rounds); the conv-landmarker
     # and flagship-decode sections batch larger (throughput knees measured
     # at n=2048 / B=16 — BASELINE.md round-2 sweeps).
-    clips = [make_clip(100 + i) for i in range(64)]
+    clips = [make_clip(100 + i) for i in range(8 if smoke else 64)]
     frames_all = np.concatenate([c.frames for c in clips])
-    frames = frames_all[:512]
+    frames = frames_all[: 128 if smoke else 512]
     n = frames.shape[0]
 
     @jax.jit
@@ -51,7 +56,7 @@ def main():
 
     dev_frames = jnp.asarray(frames)
     pre(dev_frames).block_until_ready()          # compile + warm
-    reps = 10
+    reps = 2 if smoke else 10
     t0 = time.perf_counter()
     for _ in range(reps):
         out = pre(dev_frames)
@@ -75,7 +80,8 @@ def main():
 
             # conv path scales with batch (no gather-bound cascade): bench at
             # its n=2048 knee (150k fps there vs 53k at n=512 on v5e)
-            n2 = min(2048, (frames_all.shape[0] // 256) * 256)
+            n2 = min(256 if smoke else 2048,
+                     (frames_all.shape[0] // 256) * 256)
             dev2 = jnp.asarray(frames_all[:n2])
             pre_conv(dev2).block_until_ready()
             t0 = time.perf_counter()
@@ -87,11 +93,13 @@ def main():
         print(f"# conv landmarker bench skipped: {e}", file=sys.stderr)
 
     # oracle denominator: the per-frame CPU loop on a subset
-    oracle = run_clip(clips[0].frames[:48], det_np, ert_np, pre_cfg)
+    oracle = run_clip(clips[0].frames[: 12 if smoke else 48],
+                      det_np, ert_np, pre_cfg)
     cpu_fps = oracle.frames_per_sec
 
     # parity spot check on the bench hardware (guards against perf-only wins)
-    roi_dev = np.asarray(pre(jnp.asarray(clips[0].frames[:48])))
+    roi_dev = np.asarray(pre(jnp.asarray(
+        clips[0].frames[: 12 if smoke else 48])))
     max_diff = float(np.abs(roi_dev - oracle.roi).max())
 
     # end-to-end video -> ROI -> transcript (BASELINE.json:2 headline metric):
@@ -181,11 +189,12 @@ def main():
                 return transcribe(fparams, fcfg, rois, lengths, beam=8,
                                   lm_weight=0.4)
 
+            freps = 2 if smoke else 5
             flagship()                      # compile + warm (cached jit)
             t0 = time.perf_counter()
-            for _ in range(5):
+            for _ in range(freps):
                 out3 = flagship()
-            flagship_fps = n_flag * 5 / (time.perf_counter() - t0)
+            flagship_fps = n_flag * freps / (time.perf_counter() - t0)
             del out3
 
             # cascade decoding (round 3): greedy + trigger-gated beam
@@ -212,12 +221,12 @@ def main():
                                lm_weight=0.4)       # compile + warm
             t0 = time.perf_counter()
             n_res = 0
-            for _ in range(5):
+            for _ in range(freps):
                 _, nr = transcribe_cascade(fparams, fcfg, rois2, lengths2,
                                            beam=8, lm_weight=0.4)
                 n_res += nr
-            cascade_fps = n_casc * 5 / (time.perf_counter() - t0)
-            cascade_rescored_frac = n_res / (5 * B2)
+            cascade_fps = n_casc * freps / (time.perf_counter() - t0)
+            cascade_rescored_frac = n_res / (freps * B2)
     except Exception as e:
         print(f"# flagship bench skipped: {e}", file=sys.stderr)
 
@@ -238,8 +247,9 @@ def main():
                 os.path.abspath(__file__)), "scripts", "bench_stem.py"))
         _bs = _ilu.module_from_spec(_spec)
         _spec.loader.exec_module(_bs)
-        r_patch = _bs.bench_stem("patchify", 64, 64, 13, 10)
-        r_conv = _bs.bench_stem("conv3d", 64, 64, 13, 10)
+        sB, sK = (8, 2) if smoke else (64, 10)
+        r_patch = _bs.bench_stem("patchify", sB, 64, 13, sK)
+        r_conv = _bs.bench_stem("conv3d", sB, 64, 13, sK)
         train_fps, train_mfu = r_patch["fps"], r_patch["mfu"]
         train_fps_conv3d, train_mfu_conv3d = r_conv["fps"], r_conv["mfu"]
         train_mfu = round(train_mfu, 4) if train_mfu else None
@@ -272,7 +282,7 @@ def main():
 
         with tempfile.TemporaryDirectory() as d:
             paths = []
-            for i, c in enumerate(clips[:16]):
+            for i, c in enumerate(clips[: 4 if smoke else 16]):
                 p = os.path.join(d, f"c{i}.mp4")
                 write_video(p, c.frames[:64], fps=25.0)
                 paths.append((p, c.text))
@@ -289,7 +299,7 @@ def main():
                 pool_decode_fps = n_fr / (time.perf_counter() - t0)
 
                 icfg = preset("transformer-attn")
-                icfg.data.batch_size = 8
+                icfg.data.batch_size = 2 if smoke else 8
                 icfg.data.time_buckets = (64,)
                 icfg.mesh.data_parallel = 1
                 with tempfile.TemporaryDirectory() as wd:
@@ -307,7 +317,7 @@ def main():
                                              tr._det, tr._ert, tr._presence,
                                              dev, rkey)
                     jax.block_until_ready(m)
-                    n_steps = 6
+                    n_steps = 2 if smoke else 6
                     t0 = time.perf_counter()
                     fr_done = 0
                     for _ in range(n_steps):

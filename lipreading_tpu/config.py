@@ -30,6 +30,14 @@ class PreprocessConfig:
     # distilled convnet, ops/landmarker.py — faster on the MXU; pass its
     # weights where the ERT model normally goes)
     landmarker: str = "ert"
+    # ROI crop-box coordinates: "round" = integer rounding (bit-parity with
+    # the reference's integer slicing — the ERT/golden contract), "subpixel"
+    # = sample at the float mouth box (landmark noise moves the crop
+    # smoothly instead of flipping round_box's integer knife edges),
+    # "auto" = subpixel whenever landmarker != "ert" (the conv path has no
+    # rounding contract and its sub-px error otherwise flips boxes on ~half
+    # the frames — the source of its residual transcript errors).
+    roi_sampling: str = "auto"
 
 
 @dataclass

@@ -44,6 +44,28 @@ def mouth_boxes_from_landmarks(
     return jnp.stack([xi, yi, s], axis=1)
 
 
+def mouth_boxes_float(landmarks: jnp.ndarray, margin: float) -> jnp.ndarray:
+    """[B, 68, 2] -> [B, 3] float32 square mouth boxes — NO rounding.
+
+    The subpixel-sampling analogue of mouth_boxes_from_landmarks (oracle
+    mouth_box_from_landmarks float geometry); frame clamping happens
+    per-sample inside the ROI kernel instead of by shifting the box."""
+    pts = landmarks[:, 48:68, :].astype(jnp.float32)
+    mn = pts.min(axis=1)
+    mx = pts.max(axis=1)
+    c = (mn + mx) / 2.0
+    size = jnp.max(mx - mn, axis=1) * (1.0 + margin)
+    return jnp.stack(
+        [c[:, 0] - size / 2.0, c[:, 1] - size / 2.0, size], axis=1)
+
+
+def use_subpixel_roi(cfg: PreprocessConfig) -> bool:
+    """Resolve cfg.roi_sampling ("auto" = subpixel iff landmarker != ert)."""
+    if cfg.roi_sampling == "auto":
+        return cfg.landmarker != "ert"
+    return cfg.roi_sampling == "subpixel"
+
+
 def preprocess_frames(
     det_params,
     ert_model,
@@ -66,10 +88,12 @@ def preprocess_frames(
         landmarks = predict_batch_conv(ert_model, gray, face_boxes)
     else:
         landmarks = ert_ops.predict_batch(ert_model, gray, face_boxes)
-    mboxes = mouth_boxes_from_landmarks(landmarks, cfg.roi_margin, H, W)
+    subpix = use_subpixel_roi(cfg)
+    mboxes = (mouth_boxes_float(landmarks, cfg.roi_margin) if subpix else
+              mouth_boxes_from_landmarks(landmarks, cfg.roi_margin, H, W))
     rois = roi_ops.sample_rois(
         gray, mboxes, cfg.roi_size,
-        mean=cfg.normalize_mean, std=cfg.normalize_std,
+        mean=cfg.normalize_mean, std=cfg.normalize_std, subpixel=subpix,
     )
     if return_aux:
         return rois, {
@@ -174,10 +198,12 @@ def preprocess_clips_tracked(
         landmarks = predict_batch_conv(ert_model, gray, flat_boxes)
     else:
         landmarks = ert_ops.predict_batch(ert_model, gray, flat_boxes)
-    mboxes = mouth_boxes_from_landmarks(landmarks, cfg.roi_margin, H, W)
+    subpix = use_subpixel_roi(cfg)
+    mboxes = (mouth_boxes_float(landmarks, cfg.roi_margin) if subpix else
+              mouth_boxes_from_landmarks(landmarks, cfg.roi_margin, H, W))
     rois = roi_ops.sample_rois(
         gray, mboxes, cfg.roi_size,
-        mean=cfg.normalize_mean, std=cfg.normalize_std,
+        mean=cfg.normalize_mean, std=cfg.normalize_std, subpixel=subpix,
     ).reshape(B, T, cfg.roi_size, cfg.roi_size)
     if return_aux:
         return rois, valid, {"face_boxes": boxes, "conf": conf}

@@ -44,21 +44,33 @@ def grayscale(frames: jnp.ndarray) -> jnp.ndarray:
     return f[..., 0] * r + f[..., 1] * g + f[..., 2] * b
 
 
-def _interp_weights_dense(starts, sizes, src_dim: int, out_size: int):
+def _interp_weights_dense(starts, sizes, src_dim: int, out_size: int,
+                          subpixel: bool = False):
     """Batched dense interpolation matrices [N, out, src_dim].
 
-    starts/sizes: int32 [N] crop origin and extent along this axis. Matches the
-    oracle: src = (j+0.5)*size/out - 0.5 clamped to the crop interior, taps at
-    floor(src) and floor(src)+1 (shifted by start, clamped into the frame).
+    starts/sizes: [N] crop origin and extent along this axis (int32 boxes by
+    default). Matches the oracle: src = (j+0.5)*size/out - 0.5 clamped to the
+    crop interior, taps at floor(src) and floor(src)+1 (shifted by start,
+    clamped into the frame).
+
+    ``subpixel=True`` takes FLOAT starts/sizes and floors AFTER the shift to
+    absolute coordinates (oracle sample_roi_subpixel): the integer-path
+    identity floor(src)+start only holds for integer starts. Keeping the two
+    formulations separate preserves the default path's bit-parity contract.
     """
     starts = starts.astype(jnp.float32)[:, None]
     sizes = sizes.astype(jnp.float32)[:, None]
     js = jnp.arange(out_size, dtype=jnp.float32)[None, :]
     src = (js + 0.5) * (sizes / out_size) - 0.5
     src = jnp.clip(src, 0.0, sizes - 1.0)
-    i0 = jnp.minimum(jnp.floor(src), jnp.maximum(sizes - 2.0, 0.0))
-    frac = src - i0
-    i0 = jnp.clip(i0 + starts, 0.0, float(src_dim - 2))          # [N, out]
+    if subpixel:
+        src = jnp.clip(src + starts, 0.0, float(src_dim - 1))
+        i0 = jnp.clip(jnp.floor(src), 0.0, float(src_dim - 2))
+        frac = src - i0
+    else:
+        i0 = jnp.minimum(jnp.floor(src), jnp.maximum(sizes - 2.0, 0.0))
+        frac = src - i0
+        i0 = jnp.clip(i0 + starts, 0.0, float(src_dim - 2))      # [N, out]
     cols = jnp.arange(src_dim, dtype=jnp.float32)[None, None, :]  # [1, 1, src]
     i0e = i0[:, :, None]
     fe = frac[:, :, None]
@@ -73,11 +85,15 @@ def sample_rois_xla(
     mean: float = 0.421,
     std: float = 0.165,
     normalize: bool = True,
+    subpixel: bool = False,
 ) -> jnp.ndarray:
-    """[N, H, W] gray + [N, 3] int boxes (x0, y0, size) -> [N, R, R] ROIs."""
+    """[N, H, W] gray + [N, 3] boxes (x0, y0, size) -> [N, R, R] ROIs.
+
+    Boxes are int32 by default; ``subpixel=True`` samples FLOAT boxes
+    without rounding (conv-landmarker path, see _interp_weights_dense)."""
     N, H, W = gray.shape
-    wy = _interp_weights_dense(boxes[:, 1], boxes[:, 2], H, out_size)
-    wx = _interp_weights_dense(boxes[:, 0], boxes[:, 2], W, out_size)
+    wy = _interp_weights_dense(boxes[:, 1], boxes[:, 2], H, out_size, subpixel)
+    wx = _interp_weights_dense(boxes[:, 0], boxes[:, 2], W, out_size, subpixel)
     g = gray.astype(jnp.float32)
     rows = jnp.einsum("nrh,nhw->nrw", wy, g, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
@@ -88,7 +104,8 @@ def sample_rois_xla(
     return roi
 
 
-def _roi_kernel(boxes_ref, gray_ref, out_ref, *, H, W, R, mean, std, normalize):
+def _roi_kernel(boxes_ref, gray_ref, out_ref, *, H, W, R, mean, std, normalize,
+                subpixel=False):
     # boxes ride SMEM transposed as [3, N]: SMEM pads the minor axis per row
     # (512 B granularity), so [N, 3] would burn 512 B per FRAME and trip the
     # 1 MiB SMEM cap at N=2048; [3, N] is three padded rows for any N.
@@ -102,9 +119,18 @@ def _roi_kernel(boxes_ref, gray_ref, out_ref, *, H, W, R, mean, std, normalize):
         cols = jax.lax.broadcasted_iota(jnp.int32, (R, src_dim), 1).astype(jnp.float32)
         src = (js + 0.5) * (size / R) - 0.5
         src = jnp.clip(src, 0.0, size - 1.0)
-        i0 = jnp.minimum(jnp.floor(src), jnp.maximum(size - 2.0, 0.0))
-        frac = src - i0
-        i0 = jnp.clip(i0 + start.astype(jnp.float32), 0.0, float(src_dim - 2))
+        if subpixel:
+            # float boxes: floor AFTER the shift to absolute coordinates
+            # (same arithmetic as _interp_weights_dense subpixel branch)
+            src = jnp.clip(src + start.astype(jnp.float32), 0.0,
+                           float(src_dim - 1))
+            i0 = jnp.clip(jnp.floor(src), 0.0, float(src_dim - 2))
+            frac = src - i0
+        else:
+            i0 = jnp.minimum(jnp.floor(src), jnp.maximum(size - 2.0, 0.0))
+            frac = src - i0
+            i0 = jnp.clip(i0 + start.astype(jnp.float32), 0.0,
+                          float(src_dim - 2))
         return jnp.where(cols == i0, 1.0 - frac, 0.0) + jnp.where(
             cols == i0 + 1.0, frac, 0.0
         )
@@ -133,6 +159,7 @@ def sample_rois_pallas(
     std: float = 0.165,
     normalize: bool = True,
     interpret: bool | None = None,
+    subpixel: bool = False,
 ) -> jnp.ndarray:
     """Pallas version of sample_rois_xla: one grid program per frame, boxes
     scalar-prefetched to SMEM, frame DMA'd to VMEM, compute on MXU."""
@@ -140,7 +167,8 @@ def sample_rois_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kernel = functools.partial(
-        _roi_kernel, H=H, W=W, R=out_size, mean=mean, std=std, normalize=normalize
+        _roi_kernel, H=H, W=W, R=out_size, mean=mean, std=std,
+        normalize=normalize, subpixel=subpixel
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -160,7 +188,8 @@ def sample_rois_pallas(
             bytes_accessed=N * (H * W + out_size * out_size) * 4,
             transcendentals=0,
         ),
-    )(boxes.astype(jnp.int32).T, gray.astype(jnp.float32))
+    )(boxes.astype(jnp.float32 if subpixel else jnp.int32).T,
+      gray.astype(jnp.float32))
 
 
 def sample_rois(gray, boxes, out_size: int = 96, **kw):

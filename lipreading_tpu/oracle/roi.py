@@ -98,6 +98,43 @@ def sample_roi(
     return top * (1 - yf)[:, None] + bot * yf[:, None]
 
 
+def sample_roi_subpixel(
+    gray: np.ndarray,
+    box: tuple[float, float, float],
+    out_size: int = 96,
+) -> np.ndarray:
+    """Bilinear-resample a FLOAT square ``box`` (x0, y0, size) — no integer
+    rounding.
+
+    The integer path (round_box + sample_roi) exists for bit-parity with the
+    reference's integer numpy slicing and is mandatory for the ERT/golden
+    pipeline. The conv-landmarker path has no such contract, and rounding
+    turns its sub-pixel landmark error into discrete 1-px crop flips
+    (round_box knife edges) — the failure mode behind its residual
+    transcript errors. Sampling at the float box makes landmark noise move
+    the crop smoothly instead. Sampling positions are clamped to the box
+    interior, then to the frame (replacing round_box's shift-inside-frame).
+    """
+    H, W = gray.shape
+    x0, y0, size = (np.float32(v) for v in box)
+    js = np.arange(out_size, dtype=np.float32)
+
+    def weights(start, limit):
+        src = (js + 0.5) * (size / np.float32(out_size)) - np.float32(0.5)
+        src = np.clip(src, 0.0, size - 1.0) + start
+        src = np.clip(src, 0.0, np.float32(limit - 1))
+        i0 = np.clip(np.floor(src), 0.0, np.float32(limit - 2))
+        frac = (src - i0).astype(np.float32)
+        return i0.astype(np.int32), frac
+
+    yi, yf = weights(y0, H)
+    xi, xf = weights(x0, W)
+    g = gray.astype(np.float32)
+    top = g[yi][:, xi] * (1 - xf)[None, :] + g[yi][:, xi + 1] * xf[None, :]
+    bot = g[yi + 1][:, xi] * (1 - xf)[None, :] + g[yi + 1][:, xi + 1] * xf[None, :]
+    return top * (1 - yf)[:, None] + bot * yf[:, None]
+
+
 def normalize_roi(
     roi: np.ndarray, mean: float = 0.421, std: float = 0.165
 ) -> np.ndarray:

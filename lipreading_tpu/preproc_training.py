@@ -262,6 +262,8 @@ def train_conv_landmarker(
     batch: int = 64,
     lr: float = 2e-3,
     verbose: bool = True,
+    mouth_weight: float = 4.0,
+    box_weight: float = 1.0,
 ):
     """Distill the ERT cascade into the conv landmarker (ops/landmarker.py).
 
@@ -270,6 +272,14 @@ def train_conv_landmarker(
     conv path mimics the shipped landmarker, biases included (SURVEY.md §7
     plan-B distillation; gate = landmark L2 / downstream ROI agreement).
     Returns the numpy weight dict.
+
+    The only landmarks the downstream ROI crop reads are the mouth points
+    48-67 (oracle/roi.py mouth_box_from_landmarks), and sub-pixel errors
+    there flip round_box's integer rounding — the failure mode behind the
+    conv path's residual transcript errors. The loss therefore (a) weights
+    the mouth points ``mouth_weight``x in the landmark MSE and (b) adds a
+    direct penalty on the derived mouth-box coordinates (center/size in
+    box units, the exact quantities round_box consumes), ``box_weight``.
     """
     from lipreading_tpu.ops import landmarker as lmk
     from lipreading_tpu.ops.ert import model_to_jax, predict_batch
@@ -307,10 +317,29 @@ def train_conv_landmarker(
         0.0, lr, 100, max(steps, 101), lr * 0.05))
     opt_state = tx.init(params)
 
+    # per-point weights: mouth (48:68) dominates, normalized to mean 1 so
+    # the loss scale (and the tuned lr) is unchanged
+    w_pts = np.ones((68,), np.float32)
+    w_pts[48:68] = mouth_weight
+    w_pts /= w_pts.mean()
+    w_pts_j = jnp.asarray(w_pts)[None, :, None]
+
+    def _mouth_box(lm, margin=0.30):
+        # jnp mirror of oracle/roi.py mouth_box_from_landmarks, batched,
+        # in box units: [B, 68, 2] -> [B, 3] (cx, cy, size)
+        pts = lm[:, 48:68]
+        mn, mx = pts.min(axis=1), pts.max(axis=1)
+        size = (mx - mn).max(axis=-1) * (1.0 + margin)
+        return jnp.concatenate(
+            [(mn + mx) / 2.0, size[:, None]], axis=-1)
+
     @jax.jit
     def step(p, o, crop_b, t_b):
         def loss_fn(p):
-            return ((lmk.forward(p, crop_b) - t_b) ** 2).mean()
+            pred = lmk.forward(p, crop_b)
+            mse = (((pred - t_b) ** 2) * w_pts_j).mean()
+            box = ((_mouth_box(pred) - _mouth_box(t_b)) ** 2).mean()
+            return mse + box_weight * box
 
         l, grads = jax.value_and_grad(loss_fn)(p)
         updates, o = tx.update(grads, o, p)
@@ -348,6 +377,40 @@ def conv_landmarker_error(lm_params, det_params, ert_model, clips) -> float:
         got = lmk.predict_batch_conv(lmj, g, b)
         errs.append(float(jnp.linalg.norm(got - ref, axis=-1).mean()))
     return float(np.mean(errs))
+
+
+def conv_box_agreement(lm_params, det_params, ert_model, clips,
+                       pre_cfg=None):
+    """Fraction of frames whose ROUNDED mouth box (the integer crop the ROI
+    kernel actually samples) is identical behind conv vs ERT landmarks —
+    the box-flip rate is what turns sub-pixel landmark error into shifted
+    ROI pixels (round_box knife edges)."""
+    from lipreading_tpu.config import PreprocessConfig
+    from lipreading_tpu.oracle.roi import mouth_box_from_landmarks, round_box
+    from lipreading_tpu.ops import landmarker as lmk
+    from lipreading_tpu.ops.ert import model_to_jax, predict_batch
+
+    cfg = pre_cfg or PreprocessConfig()
+    det = ddet.params_to_jax(det_params)
+    ert = model_to_jax(ert_model)
+    lmj = lmk.params_to_jax(lm_params)
+    same = total = 0
+    for c in clips:
+        g_np = np.stack([grayscale(c.frames[t])
+                         for t in range(c.num_frames)]).astype(np.float32)
+        g = jnp.asarray(g_np)
+        b = ddet.detect(det, g)
+        ref = np.asarray(predict_batch(ert, g, b))
+        got = np.asarray(lmk.predict_batch_conv(lmj, g, b))
+        H, W = g_np.shape[1:]
+        for t in range(ref.shape[0]):
+            br = round_box(mouth_box_from_landmarks(ref[t], cfg.roi_margin),
+                           H, W)
+            bg = round_box(mouth_box_from_landmarks(got[t], cfg.roi_margin),
+                           H, W)
+            same += int(br == bg)
+            total += 1
+    return same / max(total, 1)
 
 
 def save_landmarker(params: dict, path) -> None:

@@ -65,6 +65,11 @@ def main(argv):
             for i in range(6)]
     err = conv_landmarker_error(lm, det_np, ert_np, held)
     print(f"held-out landmark error vs ERT: {err:.3f} px")
+    from lipreading_tpu.preproc_training import conv_box_agreement
+
+    agree = conv_box_agreement(lm, det_np, ert_np, held)
+    print(f"held-out rounded-box agreement vs ERT: {agree:.3f} "
+          f"(box flips are what shift ROI pixels)")
 
     # downstream gate: normalized ROI difference between the two paths
     det = params_to_jax(det_np)

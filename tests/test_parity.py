@@ -137,6 +137,60 @@ def test_roi_pallas_parity(gray_np, mouth_boxes):
     np.testing.assert_allclose(got, want, atol=1e-3)
 
 
+@pytest.fixture(scope="module")
+def float_boxes(gray_np):
+    rng = np.random.default_rng(11)
+    return np.stack(
+        [
+            rng.uniform(-3.0, 60.0, len(gray_np)),   # origins may poke out
+            rng.uniform(-3.0, 60.0, len(gray_np)),   # of frame: clamped per
+            rng.uniform(20.0, 110.0, len(gray_np)),  # sample, not shifted
+        ],
+        axis=1,
+    ).astype(np.float32)
+
+
+def _roi_oracle_subpixel(gray_np, boxes):
+    from lipreading_tpu.oracle.roi import sample_roi_subpixel
+
+    out = np.stack(
+        [sample_roi_subpixel(g, tuple(b), 96) for g, b in zip(gray_np, boxes)]
+    )
+    return ((out / 255.0) - np.float32(0.421)) / np.float32(0.165)
+
+
+def test_roi_xla_subpixel_parity(gray_np, float_boxes):
+    want = _roi_oracle_subpixel(gray_np, float_boxes)
+    got = np.asarray(droi.sample_rois_xla(
+        jnp.asarray(gray_np), jnp.asarray(float_boxes), subpixel=True))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_roi_pallas_subpixel_parity(gray_np, float_boxes):
+    want = _roi_oracle_subpixel(gray_np, float_boxes)
+    got = np.asarray(droi.sample_rois_pallas(
+        jnp.asarray(gray_np), jnp.asarray(float_boxes), subpixel=True))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_roi_subpixel_integer_boxes_match_rounded_path():
+    """On boxes that happen to be integral the subpixel sampler reproduces
+    the rounded path exactly away from frame edges (same taps, same
+    weights) — pinning that the two formulations share their arithmetic."""
+    rng = np.random.default_rng(3)
+    gray = rng.uniform(0, 255, (4, 160, 160)).astype(np.float32)
+    ib = np.stack([rng.integers(5, 50, 4), rng.integers(5, 50, 4),
+                   rng.integers(20, 80, 4)], axis=1).astype(np.int32)
+    a = np.asarray(droi.sample_rois_xla(jnp.asarray(gray), jnp.asarray(ib)))
+    b = np.asarray(droi.sample_rois_xla(
+        jnp.asarray(gray), jnp.asarray(ib.astype(np.float32)),
+        subpixel=True))
+    # fp32 frac differs in the last bits (subpixel computes floor/frac on
+    # src+start; the rounded path on src alone) — taps identical, weights
+    # equal to fp32 rounding
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
 def test_roi_pallas_large_batch():
     """N=2048+ frames through the Pallas ROI kernel in one call.
 
