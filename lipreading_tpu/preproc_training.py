@@ -264,6 +264,9 @@ def train_conv_landmarker(
     verbose: bool = True,
     mouth_weight: float = 4.0,
     box_weight: float = 1.0,
+    roi_loss_weight: float = 0.0,
+    roi_size: int = 96,
+    roi_margin: float = 0.30,
 ):
     """Distill the ERT cascade into the conv landmarker (ops/landmarker.py).
 
@@ -280,6 +283,15 @@ def train_conv_landmarker(
     the mouth points ``mouth_weight``x in the landmark MSE and (b) adds a
     direct penalty on the derived mouth-box coordinates (center/size in
     box units, the exact quantities round_box consumes), ``box_weight``.
+
+    ``roi_loss_weight > 0`` additionally distills on the DOWNSTREAM ROI
+    PIXELS: student and teacher landmarks each map to a float mouth box and
+    are sampled through the subpixel ROI path (ops/roi.sample_rois_xla,
+    subpixel=True — two differentiable matmuls, gradients flow through the
+    bilinear fracs into the box coordinates and the landmarks), and the
+    normalized-pixel MSE joins the loss. This optimizes the exact quantity
+    the recognizer consumes — possible only because the conv path samples
+    subpixel boxes (integer round_box is not differentiable).
     """
     from lipreading_tpu.ops import landmarker as lmk
     from lipreading_tpu.ops.ert import model_to_jax, predict_batch
@@ -293,7 +305,7 @@ def train_conv_landmarker(
     ert = model_to_jax(ert_model)
 
     # teacher pass (device, chunked): detector boxes -> ERT landmarks
-    crops, targets = [], []
+    crops, targets, origins, sizes = [], [], [], []
     ibox_fn = jax.jit(lambda b: lmk.round_face_boxes(b, H, W))
     for lo in range(0, gray.shape[0], 512):
         g = jnp.asarray(gray[lo:lo + 512])
@@ -306,8 +318,12 @@ def train_conv_landmarker(
         origin = np.asarray(ib[:, :2], np.float32)[:, None, :]
         size = np.asarray(ib[:, 2], np.float32)[:, None, None]
         targets.append((np.asarray(t_lm) - origin) / size)   # box units
+        origins.append(origin[:, 0, :])
+        sizes.append(size[:, 0, 0])
     crops = np.concatenate(crops)
     targets = np.concatenate(targets).astype(np.float32)
+    origins = np.concatenate(origins)
+    sizes = np.concatenate(sizes)
 
     mean_shape = targets.mean(axis=0)
     params = jax.tree.map(
@@ -334,12 +350,24 @@ def train_conv_landmarker(
             [(mn + mx) / 2.0, size[:, None]], axis=-1)
 
     @jax.jit
-    def step(p, o, crop_b, t_b):
+    def step(p, o, crop_b, t_b, gray_b, org_b, sz_b):
         def loss_fn(p):
             pred = lmk.forward(p, crop_b)
             mse = (((pred - t_b) ** 2) * w_pts_j).mean()
             box = ((_mouth_box(pred) - _mouth_box(t_b)) ** 2).mean()
-            return mse + box_weight * box
+            total = mse + box_weight * box
+            if roi_loss_weight:
+                from lipreading_tpu.ops.preprocess import mouth_boxes_float
+
+                def frame_roi(lm):
+                    fl = lm * sz_b[:, None, None] + org_b[:, None, :]
+                    return sample_rois_xla(
+                        gray_b, mouth_boxes_float(fl, roi_margin),
+                        roi_size, subpixel=True)
+
+                total = total + roi_loss_weight * (
+                    (frame_roi(pred) - frame_roi(t_b)) ** 2).mean()
+            return total
 
         l, grads = jax.value_and_grad(loss_fn)(p)
         updates, o = tx.update(grads, o, p)
@@ -351,7 +379,8 @@ def train_conv_landmarker(
         idx = rng.integers(0, n, size=batch)
         params, opt_state, l = step(
             params, opt_state, jnp.asarray(crops[idx]),
-            jnp.asarray(targets[idx]),
+            jnp.asarray(targets[idx]), jnp.asarray(gray[idx]),
+            jnp.asarray(origins[idx]), jnp.asarray(sizes[idx]),
         )
         if verbose and (i + 1) % max(steps // 8, 1) == 0:
             print(f"  landmarker step {i+1}/{steps} loss {float(l):.6f}")

@@ -5,6 +5,9 @@ Usage:
   python scripts/train_landmarker.py [variant=default] [n_clips=48]
       [steps=4000] [seed=0] [variation=0.0] [out=assets/landmarker_conv.npz]
       [gate_cer=1] [gate_release=transformer_hybrid_universal]
+      [mouth_weight=4.0] [box_weight=1.0] [roi_loss=0.0]
+      (roi_loss>0 distills on the downstream subpixel-ROI pixels —
+       differentiable through the two-matmul sampler)
 
 Teacher = the shipped detector+ERT assets for ``variant``; targets are the
 ERT's own predictions on the detector's boxes (the deployment distribution).
@@ -38,6 +41,9 @@ def main(argv):
     out = args.pop("out", os.path.join("assets", f"landmarker_conv{sfx}.npz"))
     gate_cer = args.pop("gate_cer", "1") in ("1", "true")
     gate_release = args.pop("gate_release", "transformer_hybrid_universal")
+    mouth_weight = float(args.pop("mouth_weight", 4.0))
+    box_weight = float(args.pop("box_weight", 1.0))
+    roi_loss = float(args.pop("roi_loss", 0.0))
     assert not args, f"unknown args {args}"
 
     import jax.numpy as jnp
@@ -59,7 +65,10 @@ def main(argv):
              for i in range(n_clips)]
     print(f"distilling ERT ({variant}) -> conv landmarker on "
           f"{sum(c.num_frames for c in clips)} frames")
-    lm = train_conv_landmarker(det_np, ert_np, clips, seed=seed, steps=steps)
+    lm = train_conv_landmarker(det_np, ert_np, clips, seed=seed, steps=steps,
+                               mouth_weight=mouth_weight,
+                               box_weight=box_weight,
+                               roi_loss_weight=roi_loss)
 
     held = [make_clip(seed * 100_000 + 999_431 + i, variation=variation)
             for i in range(6)]
