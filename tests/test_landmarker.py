@@ -73,6 +73,29 @@ def test_distillation_converges_and_preprocess_conv_path(assets):
     assert np.abs(roi_c - roi_e).mean() < 0.5, np.abs(roi_c - roi_e).mean()
 
 
+@pytest.mark.slow
+def test_roi_pixel_distillation_and_box_agreement(assets):
+    """roi_loss_weight distills through the differentiable subpixel ROI
+    sampler (gradients flow box->landmarks->net) and conv_box_agreement
+    reports a sane fraction."""
+    from lipreading_tpu.preproc_training import (
+        conv_box_agreement,
+        conv_landmarker_error,
+        train_conv_landmarker,
+    )
+
+    det_np, ert_np = assets
+    clips = [make_clip(9100 + i) for i in range(4)]
+    lm = train_conv_landmarker(det_np, ert_np, clips, steps=300, batch=32,
+                               verbose=False, roi_loss_weight=1.0,
+                               box_weight=0.0)
+    held = [make_clip(9300)]
+    err = conv_landmarker_error(lm, det_np, ert_np, held)
+    assert np.isfinite(err) and err < 6.0, err
+    agree = conv_box_agreement(lm, det_np, ert_np, held)
+    assert 0.0 <= agree <= 1.0
+
+
 def test_shipped_landmarker_asset_if_present():
     """Once assets/landmarker_conv.npz ships, pin its quality."""
     from lipreading_tpu.preproc_training import (
