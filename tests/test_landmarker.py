@@ -111,3 +111,21 @@ def test_shipped_landmarker_asset_if_present():
     held = [make_clip(9400 + i) for i in range(2)]
     err = conv_landmarker_error(lm, det_np, ert_np, held)
     assert err < 1.5, f"shipped conv landmarker drifted: {err:.2f} px vs ERT"
+
+
+def test_shipped_robust_landmarker_asset_if_present():
+    """Pin the robust-variant conv asset (ROI-loss distilled, round 3)
+    against the robust ERT on styled clips."""
+    from lipreading_tpu.preproc_training import (
+        conv_landmarker_error,
+        load_assets,
+        load_landmarker,
+    )
+
+    lm = load_landmarker(variant="robust")
+    if lm is None:
+        pytest.skip("robust conv landmarker asset not trained yet")
+    det_np, ert_np = load_assets(variant="robust")
+    held = [make_clip(9400 + i, variation=0.6) for i in range(2)]
+    err = conv_landmarker_error(lm, det_np, ert_np, held)
+    assert err < 1.5, f"robust conv landmarker drifted: {err:.2f} px vs ERT"
