@@ -43,24 +43,33 @@ FC_DIM = 256
 
 
 def init_landmarker(seed: int = 0,
-                    mean_shape: np.ndarray | None = None) -> dict:
-    """Weights as a flat numpy dict (same convention as the detector)."""
+                    mean_shape: np.ndarray | None = None,
+                    width: float = 1.0) -> dict:
+    """Weights as a flat numpy dict (same convention as the detector).
+
+    ``width`` scales every channel count (multiples of 8; FC multiples of
+    64) — forward() reads shapes from the params, so wider variants are
+    drop-in. width=1.0 reproduces the original shapes and init draws."""
     rng = np.random.default_rng(np.random.SeedSequence([0x1A9D, seed]))
     params: dict[str, np.ndarray] = {}
-    for name, k, cin, cout, _ in LAYERS:
+    couts = [max(8, int(c * width + 0.5) // 8 * 8)
+             for _, _, _, c, _ in LAYERS]
+    cins = [LAYERS[0][2]] + couts[:-1]
+    for (name, k, _, _, _), cin, cout in zip(LAYERS, cins, couts):
         fan_in = k * k * cin
         params[f"{name}/w"] = rng.normal(
             0, np.sqrt(2.0 / fan_in), size=(k, k, cin, cout)
         ).astype(np.float32)
         params[f"{name}/b"] = np.zeros(cout, dtype=np.float32)
-    flat = (CROP // 16) * (CROP // 16) * LAYERS[-1][3]
+    fc_dim = max(64, int(FC_DIM * width + 0.5) // 64 * 64)
+    flat = (CROP // 16) * (CROP // 16) * couts[-1]
     params["fc1/w"] = rng.normal(
-        0, np.sqrt(2.0 / flat), size=(flat, FC_DIM)
+        0, np.sqrt(2.0 / flat), size=(flat, fc_dim)
     ).astype(np.float32)
-    params["fc1/b"] = np.zeros(FC_DIM, dtype=np.float32)
+    params["fc1/b"] = np.zeros(fc_dim, dtype=np.float32)
     # near-zero output weights + mean-shape bias: the net starts AT the mean
     # shape (like the ERT cascade's initial estimate) and learns residuals
-    params["out/w"] = rng.normal(0, 1e-3, size=(FC_DIM, 136)).astype(np.float32)
+    params["out/w"] = rng.normal(0, 1e-3, size=(fc_dim, 136)).astype(np.float32)
     params["out/b"] = (
         mean_shape.astype(np.float32).reshape(136)
         if mean_shape is not None else np.full(136, 0.5, np.float32)

@@ -267,6 +267,7 @@ def train_conv_landmarker(
     roi_loss_weight: float = 0.0,
     roi_size: int = 96,
     roi_margin: float = 0.30,
+    width: float = 1.0,
 ):
     """Distill the ERT cascade into the conv landmarker (ops/landmarker.py).
 
@@ -327,7 +328,8 @@ def train_conv_landmarker(
 
     mean_shape = targets.mean(axis=0)
     params = jax.tree.map(
-        jnp.asarray, lmk.init_landmarker(seed, mean_shape=mean_shape)
+        jnp.asarray, lmk.init_landmarker(seed, mean_shape=mean_shape,
+                                         width=width)
     )
     tx = optax.adam(optax.warmup_cosine_decay_schedule(
         0.0, lr, 100, max(steps, 101), lr * 0.05))

@@ -44,6 +44,7 @@ def main(argv):
     mouth_weight = float(args.pop("mouth_weight", 4.0))
     box_weight = float(args.pop("box_weight", 1.0))
     roi_loss = float(args.pop("roi_loss", 0.0))
+    width = float(args.pop("width", 1.0))
     assert not args, f"unknown args {args}"
 
     import jax.numpy as jnp
@@ -68,7 +69,7 @@ def main(argv):
     lm = train_conv_landmarker(det_np, ert_np, clips, seed=seed, steps=steps,
                                mouth_weight=mouth_weight,
                                box_weight=box_weight,
-                               roi_loss_weight=roi_loss)
+                               roi_loss_weight=roi_loss, width=width)
 
     held = [make_clip(seed * 100_000 + 999_431 + i, variation=variation)
             for i in range(6)]
