@@ -135,6 +135,12 @@ class MeshConfig:
     # (tensor parallelism). Mutually exclusive uses of the same axis:
     # sequence_parallel=True means params stay replicated over that axis.
     sequence_parallel: bool = False
+    # When True, the ``model`` axis carries GPipe pipeline STAGES instead
+    # (parallel/pipeline.py): encoder layers split into model_parallel
+    # contiguous stages, activations ppermute stage-to-stage. Third
+    # exclusive use of the axis; params also stay replicated over it.
+    pipeline_parallel: bool = False
+    pipeline_microbatches: int = 0  # 0: one microbatch per stage
 
 
 @dataclass

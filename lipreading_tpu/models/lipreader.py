@@ -92,16 +92,32 @@ def encode(params, cfg: Config, rois, frame_lengths, dtype=None, rng=None,
         feats = jax.checkpoint(_fe)(params["frontend"], rois, k1)
     else:
         feats = _fe(params["frontend"], rois, k1)
-    sp = (mesh is not None and cfg.mesh.sequence_parallel
-          and mesh.shape.get(cfg.mesh.model_axis, 1) > 1)
+    mp_live = mesh is not None and mesh.shape.get(cfg.mesh.model_axis, 1) > 1
+    sp = mp_live and cfg.mesh.sequence_parallel
+    pp = mp_live and cfg.mesh.pipeline_parallel
+    if sp and pp:
+        raise ValueError(
+            "sequence_parallel and pipeline_parallel are exclusive uses "
+            "of the model mesh axis"
+        )
     if cfg.encoder == "bigru":
-        if sp:
+        if sp or pp:
             raise ValueError(
-                "sequence_parallel requires the transformer encoder "
-                "(the bi-GRU is sequential over time)"
+                "sequence/pipeline parallelism requires the transformer "
+                "encoder (the bi-GRU is sequential over time)"
             )
         return bigru(params["encoder"], feats, frame_lengths, dtype=dtype,
                      dropout_rng=k2, rate=rate)
+    if pp:
+        from lipreading_tpu.parallel.pipeline import pipeline_encoder_apply
+
+        return pipeline_encoder_apply(
+            params["encoder"], feats, frame_lengths, cfg.model.tf_heads,
+            mesh, axis=cfg.mesh.model_axis, dtype=dtype,
+            data_axis=cfg.mesh.data_axis,
+            microbatches=cfg.mesh.pipeline_microbatches,
+            dropout_rng=k2, rate=rate,
+        )
     if sp:
         from lipreading_tpu.parallel.ring import ring_encoder_apply
 

@@ -76,9 +76,13 @@ class Trainer:
             jax.random.PRNGKey(cfg.train.seed), 0x0D0
         )
         params = init_model(key, cfg)
-        if cfg.mesh.sequence_parallel and cfg.encoder != "transformer":
-            raise ValueError("mesh.sequence_parallel needs encoder='transformer'")
-        if cfg.mesh.model_parallel > 1 and not cfg.mesh.sequence_parallel:
+        if ((cfg.mesh.sequence_parallel or cfg.mesh.pipeline_parallel)
+                and cfg.encoder != "transformer"):
+            raise ValueError(
+                "mesh.sequence_parallel/pipeline_parallel need "
+                "encoder='transformer'")
+        if cfg.mesh.model_parallel > 1 and not (
+                cfg.mesh.sequence_parallel or cfg.mesh.pipeline_parallel):
             # tensor parallelism: annotate transformer params over the model
             # axis; the SPMD partitioner emits the collectives
             self._param_sharding = model_param_shardings(params, self.mesh)
@@ -134,7 +138,7 @@ class Trainer:
 
         # sequence parallelism (ring attention) needs the concrete mesh so
         # encode() can shard_map the encoder's time axis over ``model``
-        mesh = self.mesh if cfg.mesh.sequence_parallel else None
+        mesh = (self.mesh if cfg.mesh.sequence_parallel or cfg.mesh.pipeline_parallel else None)
 
         def step_fn(params, opt_state, batch, rng):
             def loss_fn(p):
@@ -335,7 +339,7 @@ class FusedTrainer(Trainer):
         bsh = batch_sharding(self.mesh)
         rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
 
-        mesh = self.mesh if cfg.mesh.sequence_parallel else None
+        mesh = (self.mesh if cfg.mesh.sequence_parallel or cfg.mesh.pipeline_parallel else None)
 
         def make_model_batch(det, ert, presence, batch):
             if tracked:
