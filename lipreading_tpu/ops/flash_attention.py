@@ -31,18 +31,24 @@ logsumexp. TWO backward implementations exist, selected by ``bwd``:
   wherever it fits (T=1024 fwd+bwd: ~2.7 ms).
 * ``"pallas"`` — the standard flash backward: two kernels (dq; dk/dv)
   rematerialize probabilities blockwise from (q, k, lse), so NO [T, T]
-  buffer exists in training either. At the default 256 blocks it is the
-  same order as einsum where einsum fits (T=1024 fwd+bwd: ~4-7 ms vs
-  ~3 ms; block size dominates — 128 blocks are ~20x slower, pure
-  grid-step overhead), and it is the ONLY option once B·H·T² grad
-  buffers blow HBM: measured at T=16384 (B=2, H=8), einsum fails to
-  compile (HBM OOM) while the Pallas pair runs fwd+bwd in ~0.3 s.
+  buffer exists in training either. It is the same order as einsum where
+  einsum fits (T=1024 fwd+bwd: ~4-7 ms vs ~3 ms; block size dominates —
+  128 blocks are ~20x slower, pure grid-step overhead), and it is the
+  ONLY option once B·H·T² grad buffers blow HBM (einsum fails to compile
+  at T=16384, B=2, H=8).
 * ``"fused"`` — single-sweep variant of "pallas": dq is computed in the
   same (k, q) block visit as dk/dv (5 matmuls per block pair instead of
   the two-pass 7, and one grid instead of two), accumulated in a
   full-length [Tp, D] fp32 VMEM scratch. The scratch caps T (~16k at
   D=128); above the cap it silently falls back to the two-pass pair.
-* ``"auto"`` (default) — "xla" below T=2048, "pallas" at/above.
+* ``"auto"`` (default) — "xla" below T=2048, "fused" at/above (falling
+  back to the two-pass pair past the scratch cap).
+
+Long-T block/bwd sweep on v5e (scripts/bench_flash.py, B=2 H=8 Dh=64,
+fwd+bwd ms): T=8192: 256/pallas 65, 256/fused 57, 512/pallas 43,
+512/fused 37; T=16384: 208 / 172 / 103 / 89. Hence the defaults:
+block 512 (clamped to T for short clips) + fused backward under auto —
+2.3x the round-2 shipped configuration (256/pallas) at T=16384.
 
 Parity vs jax.vjp of the einsum formulation is test-pinned for all three
 (values and all three gradients; CPU exact, TPU rel ~4e-5 at highest).
@@ -129,7 +135,7 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 def _pad_geometry(T: int, Dh: int, block_q: int, block_k: int):
     """Clamp BOTH block sizes to the (8-aligned) sequence before rounding
     Tp, so a short encoder sequence (T=64) is not padded out to a large
-    default block (256) and burned as masked work."""
+    default block (512) and burned as masked work."""
     Dp = max(128, -(-Dh // 128) * 128)
     t8 = max(8, -(-T // 8) * 8)
     bq = min(block_q, t8)
@@ -544,7 +550,7 @@ PALLAS_BWD_MIN_T = 2048     # auto policy: einsum bwd fits & wins below this
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def flash_attention(q, k, v, lengths, block_q: int = 256, block_k: int = 256,
+def flash_attention(q, k, v, lengths, block_q: int = 512, block_k: int = 512,
                     interpret: bool | None = None, bwd: str = "auto"):
     """Length-masked non-causal multi-head attention, O(T·Dh) memory.
 
@@ -575,7 +581,8 @@ def _flash_bwd(block_q, block_k, interpret, bwd, res, g):
         # their (linear-in-g) dq/dk/dv the same way the einsum vjp does
         g = g * (lengths > 0).astype(g.dtype)[:, None, None, None]
         Dp, _, _, Tp = _pad_geometry(q.shape[1], q.shape[3], block_q, block_k)
-        use_fused = bwd == "fused" and Tp * Dp * 4 <= FUSED_DQ_SCRATCH_CAP
+        use_fused = (bwd in ("fused", "auto")
+                     and Tp * Dp * 4 <= FUSED_DQ_SCRATCH_CAP)
         impl = _flash_bwd_fused_impl if use_fused else _flash_bwd_impl
         dq, dk, dv = impl(q, k, v, lengths, out, lse, g, block_q,
                           block_k, interpret)
