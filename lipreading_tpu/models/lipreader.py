@@ -117,6 +117,7 @@ def encode(params, cfg: Config, rois, frame_lengths, dtype=None, rng=None,
             data_axis=cfg.mesh.data_axis,
             microbatches=cfg.mesh.pipeline_microbatches,
             dropout_rng=k2, rate=rate,
+            flash=cfg.model.flash_attention, flash_bwd=cfg.model.flash_bwd,
         )
     if sp:
         from lipreading_tpu.parallel.ring import ring_encoder_apply

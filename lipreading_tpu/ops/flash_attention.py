@@ -158,6 +158,13 @@ def _unprep(x, B, T, H, Dh):
     return jnp.moveaxis(x[:, :T, :Dh].reshape(B, H, T, Dh), 1, 2)
 
 
+def _sds(shape, dtype, like):
+    """ShapeDtypeStruct carrying ``like``'s varying-mesh-axes set, so the
+    kernels trace inside shard_map (e.g. the pipeline-parallel stages)
+    under check_vma as well as under plain GSPMD."""
+    return jax.ShapeDtypeStruct(shape, dtype, vma=jax.typeof(like).vma)
+
+
 def _flash_fwd_impl(q, k, v, lengths, block_q: int, block_k: int,
                     interpret: bool | None, return_lse: bool = False):
     """q/k/v: [B, T, H, Dh]; lengths: [B]. Returns [B, T, H, Dh]
@@ -192,8 +199,8 @@ def _flash_fwd_impl(q, k, v, lengths, block_q: int, block_k: int,
             pltpu.VMEM((bq, Dp), jnp.float32),     # output accumulator
         ],
     )
-    out_shape = [jax.ShapeDtypeStruct((B * H, Tp, Dp), q.dtype)] + (
-        [jax.ShapeDtypeStruct((B * H, Tp, 128), jnp.float32)]
+    out_shape = [_sds((B * H, Tp, Dp), q.dtype, qf)] + (
+        [_sds((B * H, Tp, 128), jnp.float32, qf)]
         if return_lse else []
     )
     if return_lse:
@@ -446,9 +453,9 @@ def _flash_bwd_fused_impl(q, k, v, lengths, out, lse, g, block_q: int,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B * H, Tp, Dp), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Tp, Dp), k.dtype),
-            jax.ShapeDtypeStruct((B * H, Tp, Dp), v.dtype),
+            _sds((B * H, Tp, Dp), q.dtype, qf),
+            _sds((B * H, Tp, Dp), k.dtype, qf),
+            _sds((B * H, Tp, Dp), v.dtype, qf),
         ],
         interpret=interpret,
     )(lengths.astype(jnp.int32), qf, gf, ddf, lsef, kf, vf)
@@ -493,7 +500,7 @@ def _flash_bwd_impl(q, k, v, lengths, out, lse, g, block_q: int,
             out_specs=pl.BlockSpec((1, bq, Dp), qblk),
             scratch_shapes=[pltpu.VMEM((bq, Dp), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((B * H, Tp, Dp), q.dtype),
+        out_shape=_sds((B * H, Tp, Dp), q.dtype, qf),
         interpret=interpret,
     )(lens, qf, kf, vf, gf, ddf, lsef)
 
@@ -522,8 +529,8 @@ def _flash_bwd_impl(q, k, v, lengths, out, lse, g, block_q: int,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B * H, Tp, Dp), k.dtype),
-            jax.ShapeDtypeStruct((B * H, Tp, Dp), v.dtype),
+            _sds((B * H, Tp, Dp), k.dtype, qf),
+            _sds((B * H, Tp, Dp), v.dtype, qf),
         ],
         interpret=interpret,
     )(lens, qf, gf, ddf, lsef, kf, vf)

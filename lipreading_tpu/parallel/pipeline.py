@@ -48,17 +48,24 @@ def stack_layer_params(layers):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
 
-def _stage_apply(slab, h, mask, heads: int, dtype, keys, rate: float):
+def _stage_apply(slab, h, mask, lengths, heads: int, dtype, keys, rate: float,
+                 flash: bool = False, flash_bwd: str = "auto"):
     """Apply this stage's layers (slab leaves are [L_local, ...]) to h.
 
     Arithmetic is models.transformer.encoder_apply's loop body verbatim
     (pre-LN attn + MLP residual blocks) so pipeline == unsharded holds.
+    ``flash=True`` streams attention through the Pallas flash kernel
+    (cfg.model.flash_attention) instead of materializing [mb, H, T, T].
     """
     n_local = jax.tree.leaves(slab)[0].shape[0]
     for i in range(n_local):
         lp = jax.tree.map(lambda a: a[i], slab)
         hn = nn.layernorm(lp["ln1"], h)
-        attn = tf.mha(lp["attn"], hn, hn, mask, heads, dtype)
+        if flash:
+            attn = tf.mha_flash(lp["attn"], hn, lengths, heads, dtype,
+                                bwd=flash_bwd)
+        else:
+            attn = tf.mha(lp["attn"], hn, hn, mask, heads, dtype)
         h = h + nn.dropout(keys[2 * i], attn, rate,
                            deterministic=keys[2 * i] is None)
         ff = tf.mlp(lp["mlp"], nn.layernorm(lp["ln2"], h), dtype)
@@ -71,7 +78,8 @@ def pipeline_encoder_apply(params, x, lengths, heads: int, mesh: Mesh,
                            axis: str = "model", dtype=None,
                            data_axis: str | None = "data",
                            microbatches: int = 0,
-                           dropout_rng=None, rate: float = 0.0):
+                           dropout_rng=None, rate: float = 0.0,
+                           flash: bool = False, flash_bwd: str = "auto"):
     """Pipeline-parallel transformer encoder: [B, T, in] -> [B, T, tf_dim].
 
     ``axis`` (size S) carries the stages: tf_layers must divide by S and the
@@ -101,7 +109,6 @@ def pipeline_encoder_apply(params, x, lengths, heads: int, mesh: Mesh,
     h0 = nn.dense(params["proj"], x, dtype)
     h0 = h0 + params["pos"][:T][None].astype(h0.dtype)
     stacked = stack_layer_params(params["layers"])
-    vma = (da, axis) if da else (axis,)
 
     def fn(slab, hb, ln, *rng_args):
         s = jax.lax.axis_index(axis)
@@ -120,13 +127,20 @@ def pipeline_encoder_apply(params, x, lengths, heads: int, mesh: Mesh,
             buf = jnp.where(s == 0, inj, buf)
             mb_idx = jnp.clip(t - s, 0, M - 1)
             l_cur = len_mb[mb_idx]                       # [mb]
-            mask = nn.length_mask(l_cur, T)[:, None, None, :]
+            mask = (None if flash
+                    else nn.length_mask(l_cur, T)[:, None, None, :])
             if train:
                 k = jax.random.fold_in(jax.random.fold_in(rng_args[0], s), t)
+                if da is not None:
+                    # decorrelate dropout across data-parallel shards (same
+                    # fold as parallel/ring.py) — without this every DP shard
+                    # applies bit-identical masks to the same microbatch slot
+                    k = jax.random.fold_in(k, jax.lax.axis_index(da))
                 keys = list(jax.random.split(k, 2 * L_local))
             else:
                 keys = [None] * (2 * L_local)
-            out = _stage_apply(slab, buf, mask, heads, dtype, keys, rate)
+            out = _stage_apply(slab, buf, mask, l_cur, heads, dtype, keys,
+                               rate, flash=flash, flash_bwd=flash_bwd)
             o_idx = jnp.clip(t - (S - 1), 0, M - 1)
             prev = jax.lax.dynamic_index_in_dim(ys, o_idx, 0, keepdims=False)
             rec = jnp.where(t >= S - 1, out, prev)
@@ -151,5 +165,9 @@ def pipeline_encoder_apply(params, x, lengths, heads: int, mesh: Mesh,
         args.append(dropout_rng)
     out = jax.shard_map(
         fn, mesh=mesh, in_specs=tuple(in_specs), out_specs=P(da, None, None),
+        # the Pallas interpreter (CPU fallback) mixes varying and unvaried
+        # values in its internal dynamic_slice, which check_vma rejects;
+        # vma checking stays on for the dense path
+        check_vma=not flash,
     )(*args)
     return nn.layernorm(params["ln_out"], out)

@@ -8,11 +8,12 @@
 # Produces runs/universal3ct/; eval ladder: scripts/ft_eval.sh.
 set -e
 cd /root/repo
-test -f runs/corpus_ft/meta.json || test -d runs/corpus_ft || {
-  echo "corpus_ft missing; run .scratch_corpus.sh first" >&2; exit 2; }
+test -f runs/corpus_ft/index.json || {
+  echo "corpus_ft missing/incomplete; run .scratch_corpus.sh first" >&2
+  exit 2; }
 exec python scripts/train.py preset=transformer-patchify \
   workdir=runs/universal3ct dataview=runs/corpus_ft \
-  init_from=transformer_hybrid_universal3 steps=6000 \
+  init_from=transformer_hybrid_universal3 \
   train.total_steps=6000 train.learning_rate=1e-4 train.warmup_steps=100 \
   train.ctc_weight=0.6 train.att_weight=0.4 train.roi_augment=0.3 \
   "$@"

@@ -81,6 +81,38 @@ def test_pipeline_under_jit():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_pipeline_flash_matches_unsharded():
+    """flash=True routes stages through the Pallas flash kernel (interpret
+    mode on CPU) — same math as the masked dense path."""
+    cfg, params, x, lengths, mesh = _setup(mp=4)
+    want = tf.encoder_apply(params, x, lengths, cfg.model.tf_heads)
+    got = pipeline_encoder_apply(params, x, lengths, cfg.model.tf_heads,
+                                 mesh, microbatches=2, flash=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_dropout_decorrelated_across_dp():
+    """With dropout>0 under DP x PP, each data shard must draw its own
+    dropout masks: identical inputs on every shard must NOT produce
+    identical outputs across shards (the key folds in axis_index(data))."""
+    cfg, params, x, lengths, mesh = _setup(mp=2)  # dp4 x pp2
+    B = x.shape[0]
+    # identical data in every DP shard: tile the first shard's rows
+    per = B // 4
+    x_rep = jnp.tile(x[:per], (4, 1, 1))
+    len_rep = jnp.tile(lengths[:per], (4,))
+    out = pipeline_encoder_apply(
+        params, x_rep, len_rep, cfg.model.tf_heads, mesh, microbatches=2,
+        dropout_rng=jax.random.PRNGKey(3), rate=0.5)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    shards = out.reshape(4, per, *out.shape[1:])
+    # same inputs, same weights — any difference comes from dropout keys
+    assert not np.allclose(shards[0], shards[1]), (
+        "DP shards applied bit-identical dropout masks")
+
+
 @pytest.mark.slow
 def test_dp2_pp4_train_step_matches_dp8(tmp_path):
     """One hybrid train step: dp2 x pp4 loss == dp8 loss (dropout off —
