@@ -230,6 +230,57 @@ def main():
     except Exception as e:
         print(f"# flagship bench skipped: {e}", file=sys.stderr)
 
+    # deployment config (VERDICT r3 weak #6: "the one number a deployer
+    # wants"): the CURRENT universal release + subpixel conv-landmarker
+    # preprocessing + cascade decoding — the repo's actual serving stack.
+    # The transformer_hybrid flagship row above stays for cross-round
+    # comparability.
+    universal_fps = universal_rescored_frac = None
+    try:
+        from lipreading_tpu.infer import transcribe_cascade
+        from lipreading_tpu.ops.landmarker import params_to_jax as lmk_to_jax
+        from lipreading_tpu.ops.preprocess import preprocess_clips
+        from lipreading_tpu.preproc_training import (
+            load_landmarker,
+            load_release_model,
+        )
+
+        for uname in ("transformer_hybrid_universal4",
+                      "transformer_hybrid_universal3"):
+            rel = load_release_model(uname)
+            if rel is not None:
+                break
+        lm_np = load_landmarker()
+        if rel is not None and lm_np is not None:
+            uparams, ucfg = rel
+            ucfg = ucfg.override(**{"preprocess.landmarker": "conv"})
+            Tc = 64
+            B3 = min(len(clips), 64)
+            stack3 = np.zeros((B3, Tc) + frames_all.shape[1:],
+                              frames_all.dtype)
+            lens3 = np.zeros((B3,), np.int32)
+            for i in range(B3):
+                f = clips[i].frames[:Tc]
+                stack3[i, : f.shape[0]] = f
+                lens3[i] = f.shape[0]
+            rois3 = preprocess_clips(det, lmk_to_jax(lm_np),
+                                     jnp.asarray(stack3), ucfg.preprocess)
+            lengths3 = jnp.asarray(lens3)
+            n_univ = int(lens3.sum())
+            freps = 2 if smoke else 5
+            transcribe_cascade(uparams, ucfg, rois3, lengths3, beam=8,
+                               lm_weight=0.4)    # compile + warm
+            t0 = time.perf_counter()
+            n_res = 0
+            for _ in range(freps):
+                _, nr = transcribe_cascade(uparams, ucfg, rois3, lengths3,
+                                           beam=8, lm_weight=0.4)
+                n_res += nr
+            universal_fps = n_univ * freps / (time.perf_counter() - t0)
+            universal_rescored_frac = n_res / (freps * B3)
+    except Exception as e:
+        print(f"# universal deployment bench skipped: {e}", file=sys.stderr)
+
     # train-step MFU (fwd+bwd, AdamW; device-resident batch at the B=64
     # knee). K steps run inside ONE jitted lax.fori_loop — immune to the
     # axon tunnel's dispatch-timing noise (CLAUDE.md measurement gotcha);
@@ -350,6 +401,11 @@ def main():
         "cascade_rescored_frac": (round(cascade_rescored_frac, 3)
                                   if cascade_rescored_frac is not None
                                   else None),
+        "e2e_universal_cascade_fps": (round(universal_fps, 1)
+                                      if universal_fps else None),
+        "universal_rescored_frac": (round(universal_rescored_frac, 3)
+                                    if universal_rescored_frac is not None
+                                    else None),
         "train_step_fps": round(train_fps, 1) if train_fps else None,
         "train_step_mfu": train_mfu,
         "train_step_fps_conv3d": (round(train_fps_conv3d, 1)

@@ -310,6 +310,43 @@ def transcribe_cascade(params, cfg: Config, rois, frame_lengths,
     return out, int(idx.size)
 
 
+def frame_signature(frames, grid: int = 16) -> np.ndarray:
+    """[N, H, W, 3] uint8 -> [N, grid, grid] block-mean gray in [0, 1].
+
+    The shot-boundary signal (VERDICT r3 #7). The mouth ROI itself cannot
+    detect hard cuts — talking motion moves as many ROI pixels per frame as
+    a face swap does (measured: within-shot ROI diff max 0.74 vs cut 0.36)
+    — but the FULL frame separates cleanly: background and framing are
+    static within a shot, so the block-mean signature's consecutive-frame
+    L1 jumps 17-28x its within-shot median at a hard cut while never
+    exceeding ~3x within one (fixtures, same- and cross-style pairs).
+    """
+    f = np.asarray(frames)
+    g = f.astype(np.float32).mean(-1) if f.ndim == 4 else f.astype(np.float32)
+    N, H, W = g.shape
+    H2, W2 = H - H % grid, W - W % grid
+    s = g[:, :H2, :W2].reshape(
+        N, grid, H2 // grid, grid, W2 // grid).mean((2, 4))
+    return s / 255.0
+
+
+def signature_cuts(sig: np.ndarray, cut_k: float = 8.0,
+                   cut_min: float = 0.02) -> np.ndarray:
+    """Hard-cut frame indices from a [N, g, g] signature sequence.
+
+    A cut at index i means frames i-1 and i straddle a shot boundary.
+    Threshold is relative (``cut_k`` x the sequence's median
+    consecutive-frame diff) with an absolute floor ``cut_min`` so a
+    near-static stream cannot fire on noise.
+    """
+    sig = np.asarray(sig)
+    if sig.shape[0] < 2:
+        return np.zeros((0,), np.int64)
+    d = np.abs(np.diff(sig, axis=0)).mean(axis=(1, 2))
+    thr = max(cut_min, cut_k * float(np.median(d)))
+    return np.flatnonzero(d > thr) + 1
+
+
 def segment_valid_runs(valid, gap: int = 25) -> list[tuple[int, int]]:
     """Split a frame-validity mask into shot segments.
 
@@ -342,6 +379,7 @@ def segment_valid_runs(valid, gap: int = 25) -> list[tuple[int, int]]:
 
 def transcribe_segmented(params, cfg: Config, rois, valid, gap: int = 25,
                          bucket: int = 64, cascade: bool = False,
+                         sig=None, cut_k: float = 8.0, cut_min: float = 0.02,
                          **decode_kw):
     """Tracked batch decode with shot-boundary segmentation.
 
@@ -353,10 +391,27 @@ def transcribe_segmented(params, cfg: Config, rois, valid, gap: int = 25,
     reuse the same compiled decode as equal-length batches). Returns
     ``(text, [((start, end), segment_text), ...])`` — text joins the
     segments with spaces (a cut is at least a word boundary).
+
+    ``sig`` (optional): per-frame appearance signatures from
+    ``frame_signature(frames)`` over the SAME frame axis. When given,
+    segments additionally split at HARD CUTS — shot changes without a
+    no-face gap (two faces back to back), which detection dropout cannot
+    see (``signature_cuts``; VERDICT r3 #7).
     """
     valid = np.asarray(valid).astype(bool)
     rois = np.asarray(rois)
     segs = segment_valid_runs(valid, gap)
+    if sig is not None and segs:
+        cuts = signature_cuts(sig, cut_k, cut_min)
+        split = []
+        for lo, hi in segs:
+            for c in cuts[(cuts > lo) & (cuts < hi)]:
+                if valid[lo:c].any():
+                    split.append((lo, int(c)))
+                lo = int(c)
+            if valid[lo:hi].any():
+                split.append((lo, hi))
+        segs = split
     if not segs:
         return "", []
     seg_rois = [rois[lo:hi][valid[lo:hi]] for lo, hi in segs]
@@ -364,10 +419,15 @@ def transcribe_segmented(params, cfg: Config, rois, valid, gap: int = 25,
     # segments group by their length bucket before batching: padding a
     # short segment out to a long segment's bucket shifts its features
     # under the releases' time-pooled GroupNorm (nn.groupnorm docstring) —
-    # same-bucket batches match how the models train and evaluate
+    # same-bucket batches match how the models train and evaluate.
+    # Framewise-norm models are pad-invariant (test-pinned), so the crutch
+    # demotes to ONE shared bucket / one batched call (VERDICT r3 #3).
     buckets: dict[int, list[int]] = {}
-    for i, L in enumerate(lens):
-        buckets.setdefault(-(-L // bucket) * bucket, []).append(i)
+    if cfg.model.framewise_norm:
+        buckets[-(-max(lens) // bucket) * bucket] = list(range(len(segs)))
+    else:
+        for i, L in enumerate(lens):
+            buckets.setdefault(-(-L // bucket) * bucket, []).append(i)
     texts = [""] * len(segs)
     for tb, idxs in sorted(buckets.items()):
         batch = np.zeros((len(idxs), tb) + rois.shape[1:], rois.dtype)

@@ -515,4 +515,11 @@ def load_release_model(name: str = "bigru_ctc", assets_dir: str | None = None):
     with open(path, "rb") as f:
         state = serialization.msgpack_restore(f.read())
     params = serialization.from_state_dict(template, state)
+    # device-resident once at load: from_state_dict leaves are NUMPY
+    # arrays, and jitted callees that take params as an ARGUMENT
+    # (infer._decode_jit, _greedy_conf_jit) would re-transfer the full
+    # release (38-50 MB) on EVERY call — ~0.8 s/call over the axon
+    # tunnel's ~50 MB/s H2D, which dominated the round-3 flagship bench
+    # (753 fps). Closures that bake params as constants never noticed.
+    params = jax.device_put(params)
     return params, cfg

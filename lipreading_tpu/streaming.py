@@ -66,6 +66,8 @@ class StreamingTranscriber:
         track_threshold: float = 0.5,
         track_topk: int = 4,
         gap_flush: int = 25,
+        cut_flush: float = 8.0,
+        cut_min: float = 0.02,
     ):
         """``tracked=True`` (needs ``presence``) runs the robust detection
         path per chunk — top-k candidates + presence gating + temporal
@@ -82,6 +84,16 @@ class StreamingTranscriber:
         for cue-trained models (measured: one-shot decode of a 2-clip
         stream errs 0.10-0.23 CER where per-segment decode is exact), so
         cutting the context at a detected cut strictly helps. 0 disables.
+
+        ``cut_flush`` (tracked mode): HARD-CUT detector for shot changes
+        without a no-face gap (two faces back to back), which detection
+        dropout cannot see (VERDICT r3 #7). A full-frame block-mean
+        signature (infer.frame_signature) is diffed frame to frame; a jump
+        above ``cut_flush`` x the running median of recent diffs (absolute
+        floor ``cut_min``) flushes like a gap. Measured on fixtures: a
+        hard cut jumps 17-28x the within-shot median while talking motion
+        never exceeds ~3x, so the default ratio 8 has wide margin both
+        ways. 0 disables.
         """
         if cfg.decoder not in ("ctc", "hybrid"):
             raise ValueError(
@@ -105,6 +117,12 @@ class StreamingTranscriber:
         self.hypothesis = ""
         self.gap_flush = gap_flush
         self._gap = 0                      # consecutive no-face frames seen
+        self.cut_flush = cut_flush
+        self.cut_min = cut_min
+        from collections import deque
+
+        self._cut_hist: deque = deque(maxlen=50)  # within-shot sig diffs
+        self._prev_sig: np.ndarray | None = None  # last frame's signature
 
         self._tracked = tracked
         if tracked:
@@ -248,8 +266,35 @@ class StreamingTranscriber:
             )
             keep = np.asarray(valid)[:n]
             rois_np = np.asarray(rois)[:n]
+            cut_d = None
+            if self.cut_flush > 0:
+                from lipreading_tpu.infer import frame_signature
+
+                sig = frame_signature(frames[:n])
+                prev = (sig[:1] if self._prev_sig is None
+                        else self._prev_sig[None])
+                cut_d = np.abs(
+                    np.diff(np.concatenate([prev, sig]), axis=0)
+                ).mean(axis=(1, 2))           # [n]; cut_d[0] spans chunks
+                self._prev_sig = sig[-1]
             added = 0
             for i in range(n):                # live skip-frame semantics
+                if cut_d is not None and keep[i] and self._gap == 0:
+                    # hard-cut flush: shot change with no detection gap.
+                    # Only FACE-to-FACE transitions count — a diff into or
+                    # out of a no-face flicker/cutaway is the gap logic's
+                    # business (a 5-frame dropout must stay a flicker, not
+                    # force two mid-word flushes).
+                    d = float(cut_d[i])
+                    if len(self._cut_hist) >= 8 and d > max(
+                        self.cut_min,
+                        self.cut_flush * float(np.median(self._cut_hist)),
+                    ):
+                        if self._buf:
+                            self._flush()
+                        self._cut_hist.clear()
+                    else:
+                        self._cut_hist.append(d)
                 if not keep[i]:
                     self._gap += 1
                     continue

@@ -41,6 +41,7 @@ def main(argv):
     # shot-boundary split threshold for the tracked batch path (frames of
     # consecutive no-face = a cut; 0 disables splitting)
     gap_flush = int(args.pop("gap_flush", 25))
+    cut_flush = float(args.pop("cut_flush", 8.0))  # hard-cut ratio; 0=off
     # real-video input defaults to the robust tracked path (skip-frame
     # semantics — a cutaway yields a flagged gap, not garbage text); the
     # fixture path stays untracked so golden/bit-parity runs are unchanged.
@@ -135,7 +136,9 @@ def main(argv):
         st = StreamingTranscriber(params, cfg, det, ert,
                                   window=64, decode_every=16,
                                   beam=beam, lm_weight=lm_weight,
-                                  presence=presence, tracked=tracked)
+                                  presence=presence, tracked=tracked,
+                                  gap_flush=gap_flush,
+                                  cut_flush=cut_flush)
         t0 = time.perf_counter()
         for lo in range(0, len(frames), stream):
             hyp = st.feed(frames[lo:lo + stream])
@@ -164,9 +167,14 @@ def main(argv):
                   f"(skipped, not transcribed as garbage)")
         # a >= gap_flush run of no-face frames is a shot boundary: decode
         # each segment within its own shot (one-shot decode across a cut
-        # is OOD — same fix as streaming's gap_flush), batched in one call
+        # is OOD — same fix as streaming's gap_flush), batched in one call;
+        # the frame signature additionally splits at HARD cuts (shot
+        # changes with no detection gap — infer.signature_cuts)
+        from lipreading_tpu.infer import frame_signature
+
         hyp, segments = transcribe_segmented(
             params, cfg, rois, valid, gap=gap_flush, beam=beam,
+            sig=frame_signature(frames) if cut_flush > 0 else None,
             lm_weight=lm_weight, use_lexicon=use_lexicon)
         if not segments:
             print("transcript: ''  (no confident face in any frame)")

@@ -59,6 +59,11 @@ def main(argv):
     import dataclasses as _dc
     if path:
         _, params, _, _, _ = load_checkpoint(path, params)
+        # device-resident once: load_checkpoint leaves are numpy, and the
+        # jitted decode paths take params as an argument — without this
+        # every decode call re-ships the full model over H2D (the same
+        # tunnel tax load_release_model now pays once at load)
+        params = jax.device_put(params)
         print(f"loaded {path}")
     else:
         from lipreading_tpu.preproc_training import load_release_model
@@ -119,8 +124,15 @@ def main(argv):
         from lipreading_tpu.infer import transcribe_cascade
 
         buckets = {}
-        for i, L in enumerate(len_list):
-            buckets.setdefault(-(-L // 64) * 64, []).append(i)
+        if cfg.model.framewise_norm:
+            # framewise statistics are pad-invariant (test-pinned), so the
+            # same-bucket crutch is unnecessary: one shared bucket, one
+            # batched call (VERDICT r3 #3 demotion criterion)
+            tb = -(-max(len_list) // 64) * 64
+            buckets[tb] = list(range(n_clips))
+        else:
+            for i, L in enumerate(len_list):
+                buckets.setdefault(-(-L // 64) * 64, []).append(i)
         hyps = [None] * n_clips
         n_rescored = 0
         for tb, idxs in sorted(buckets.items()):
