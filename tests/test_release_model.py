@@ -220,3 +220,58 @@ def test_cascade_matches_full_beam_on_release(release):
         # degrades gracefully to full-beam cost only where greedy is
         # actually wrong.
         assert n_res == 3
+
+
+def test_universal4_release_framewise_and_both_appearances():
+    """Universal-v4 (patchify + model.framewise_norm=1, ctc/att 0.5/0.5,
+    16k steps on the 2250-clip mixed corpus incl. robust-conv views): the
+    first release to carry the pad-invariance root fix IN ITS WEIGHTS
+    (VERDICT r3 missing #2). Two pins:
+
+    1. both-appearances coverage (as the v2/v3 gates);
+    2. pad invariance on the RELEASE weights: the same clip decodes
+       IDENTICALLY padded to bucket 64 and bucket 128 — the property the
+       time-pooled GroupNorm releases provably lack (their log-probs shift
+       ~1 nat between buckets, BASELINE.md round-3), and the reason
+       same-bucket batching crutches demote to a no-op for this model.
+    """
+    import jax.numpy as jnp
+
+    from lipreading_tpu.fixtures import make_clip
+    from lipreading_tpu.infer import transcribe
+    from lipreading_tpu.metrics import corpus_cer
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+    from lipreading_tpu.ops.preprocess import preprocess_padded
+    from lipreading_tpu.preproc_training import load_assets, load_release_model
+
+    rel = load_release_model("transformer_hybrid_universal4")
+    if rel is None:
+        pytest.skip("universal4 release not shipped")
+    params, cfg = rel
+    assert cfg.model.frontend == "patchify"
+    assert cfg.model.framewise_norm
+    det_np, ert_np = load_assets(variant="robust")
+    det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+
+    hyps, refs = [], []
+    pad_pairs = []
+    for variation in (0.0, 0.6):
+        for i in range(2):
+            clip = make_clip(515151 + i, cfg.data, variation=variation)
+            rois = preprocess_padded(det, ert, clip.frames, cfg.preprocess)
+            T = rois.shape[0]
+            out = []
+            for bucket in (64, 128):
+                pad = -(-T // bucket) * bucket
+                r = np.pad(rois, ((0, pad - T), (0, 0), (0, 0)))
+                out.append(transcribe(params, cfg, r[None],
+                                      jnp.asarray([T]), beam=1)[0])
+            pad_pairs.append(tuple(out))
+            hyps.append(out[0])
+            refs.append(clip.text)
+    cer = corpus_cer(hyps, refs)
+    assert cer < 0.25, (cer, list(zip(hyps, refs)))
+    for a, b in pad_pairs:
+        assert a == b, ("pad-bucket sensitivity in a framewise release",
+                        a, b)
