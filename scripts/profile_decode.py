@@ -74,22 +74,27 @@ def main(argv):
     BW = B * beam
     rows = []
 
+    print(f"# B={B} T={T} beam={beam} V={vocab_V} backend="
+          f"{jax.default_backend()}", flush=True)
+
+    def add(name, t):
+        rows.append((name, t))
+        print(f"{name:>28}: {t * 1e3:9.2f} ms", flush=True)
+
     enc_j = jax.jit(lambda p, r, l: encode(p, cfg, r, l, dtype))
-    rows.append(("encode", timeit(enc_j, params, rois, lengths, reps=reps)))
+    add("encode", timeit(enc_j, params, rois, lengths, reps=reps))
 
     from lipreading_tpu.infer import _greedy_conf_jit
 
-    rows.append(("greedy+conf",
-                 timeit(_greedy_conf_jit(cfg), params, rois, lengths,
-                        reps=reps)))
+    add("greedy+conf", timeit(_greedy_conf_jit(cfg), params, rois, lengths,
+                              reps=reps))
 
     from lipreading_tpu.infer import _decode_jit
 
     for L in (cfg.train.max_decode_len, 32, 24):
         c2 = cfg.override(**{"train.max_decode_len": L})
-        rows.append((f"beam@{L}",
-                     timeit(_decode_jit(c2, beam, lm_weight), params, rois,
-                            lengths, reps=reps)))
+        add(f"beam@{L}", timeit(_decode_jit(c2, beam, lm_weight), params,
+                                rois, lengths, reps=reps))
 
     # --- isolated attention decoder steps (the sequential transformer) ---
     enc = enc_j(params, rois, lengths)
@@ -112,7 +117,7 @@ def main(argv):
         return outs.sum()
 
     t_att = timeit(jax.jit(att_only), p_dec, enc_t, len_t, reps=reps)
-    rows.append((f"att-steps x{L}", t_att))
+    add(f"att-steps x{L}", t_att)
 
     # --- isolated CTC prefix-lattice steps ---
     logits_c = jax.jit(lambda p, e: ctc_logits(p, e))(params, enc)
@@ -139,16 +144,11 @@ def main(argv):
         return outs.sum()
 
     t_ctc = timeit(jax.jit(ctc_only), ctc_t, len_t, reps=reps)
-    rows.append((f"ctc-scores x{L}", t_ctc))
+    add(f"ctc-scores x{L}", t_ctc)
 
     t_beam = dict(rows)[f"beam@{L}"]
-    rows.append(("topk+gather+lm (residual)",
-                 t_beam - t_att - t_ctc - dict(rows)["encode"]))
-
-    print(f"# B={B} T={T} beam={beam} V={vocab_V} backend="
-          f"{jax.default_backend()}")
-    for name, t in rows:
-        print(f"{name:>28}: {t * 1e3:9.2f} ms")
+    add("topk+gather+lm (residual)",
+        t_beam - t_att - t_ctc - dict(rows)["encode"])
 
 
 if __name__ == "__main__":
