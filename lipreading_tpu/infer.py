@@ -49,10 +49,15 @@ def _attention_step_fn(params, cfg: Config, enc, enc_lengths, dtype):
         cache = tf.decoder_init_cache(
             p, B, cfg.train.max_decode_len, cfg.model.tf_heads, jnp.float32
         )
+        # hoist cross-attention K/V out of the step loop: constant across
+        # steps, identical across the beams of a sample (enc tiled by
+        # repeat), so they close over the step fn and never ride the carry
+        cross_kv = tf.decoder_cross_kv(p, enc, cfg.model.tf_heads, dtype)
 
         def step(cache, tok):
             return tf.decoder_step(
-                p, cache, tok, enc, enc_lengths, cfg.model.tf_heads, dtype
+                p, cache, tok, enc, enc_lengths, cfg.model.tf_heads, dtype,
+                cross_kv=cross_kv,
             )
 
         return cache, step, None
@@ -117,11 +122,25 @@ def decode_ids(params, cfg: Config, rois, frame_lengths, beam: int | None = None
     (the reference's per-step Python beam, SURVEY.md §4.3, has no surviving
     analogue here).
     """
+    enc = encode(params, cfg, rois, frame_lengths, _act_dtype(cfg))
+    return decode_ids_from_enc(params, cfg, enc, frame_lengths, beam,
+                               lm_weight, lm=lm, lexicon=lexicon)
+
+
+def decode_ids_from_enc(params, cfg: Config, enc, frame_lengths,
+                        beam: int | None = None, lm_weight: float = 0.0,
+                        lm=None, lexicon=None):
+    """Decode from a precomputed encoder output [B, T, D].
+
+    Split out of :func:`decode_ids` so the cascade's rescore leg can reuse
+    the encoder pass its greedy leg already ran (transcribe_cascade): the
+    encoder output is a pure function of (params, rois, lengths), so
+    re-encoding the uncertain rows is pure waste.
+    """
     dtype = _act_dtype(cfg)
     vocab = Vocab()
     beam = cfg.train.beam_width if beam is None else beam
     max_len = cfg.train.max_decode_len
-    enc = encode(params, cfg, rois, frame_lengths, dtype)
     B = enc.shape[0]
     if cfg.decoder == "ctc":
         logits = ctc_logits(params, enc)
@@ -192,6 +211,24 @@ def _decode_jit(cfg: Config, beam: int, lm_weight: float = 0.0,
     return _JIT_CACHE[key]
 
 
+def _decode_from_enc_jit(cfg: Config, beam: int, lm_weight: float = 0.0,
+                         use_lexicon: bool = False):
+    """Like _decode_jit but from a precomputed encoder output (the cascade's
+    rescore leg — its greedy leg already encoded every row)."""
+    import json
+
+    key = ("from_enc", json.dumps(cfg.to_dict(), sort_keys=True, default=str),
+           beam, lm_weight, use_lexicon)
+    if key not in _JIT_CACHE:
+        lm = _load_lm() if lm_weight > 0.0 else None   # resolve OUTSIDE jit
+        lex = _load_lexicon() if use_lexicon else None
+        _JIT_CACHE[key] = jax.jit(
+            lambda p, e, l: decode_ids_from_enc(p, cfg, e, l, beam, lm_weight,
+                                                lm=lm, lexicon=lex)
+        )
+    return _JIT_CACHE[key]
+
+
 def ctc_log_probs(params, cfg: Config, rois, frame_lengths):
     """[B, T, R, R] -> [B, T, V] log-posteriors (CTC head)."""
     enc = encode(params, cfg, rois, frame_lengths, _act_dtype(cfg))
@@ -204,6 +241,9 @@ def _greedy_conf_jit(cfg: Config):
     Confidence = mean over valid frames of the top1-top2 log-posterior
     margin of the CTC head — large when the lattice is unambiguous (the
     beam cannot find a better path), small when rescoring might matter.
+
+    Also returns the encoder output so the cascade's rescore leg can decode
+    from it directly (decode_ids_from_enc) instead of re-encoding.
     """
     import json
 
@@ -220,7 +260,7 @@ def _greedy_conf_jit(cfg: Config):
             mask = length_mask(l, logp.shape[1]).astype(jnp.float32)
             conf = (margin * mask).sum(-1) / jnp.maximum(mask.sum(-1), 1.0)
             ids, lens = ctc_greedy_ids(logp, l, blank=vocab.blank_id)
-            return ids, lens, conf
+            return ids, lens, conf, enc
 
         _JIT_CACHE[key] = jax.jit(f)
     return _JIT_CACHE[key]
@@ -270,7 +310,7 @@ def transcribe_cascade(params, cfg: Config, rois, frame_lengths,
     beam = cfg.train.beam_width if beam is None else beam
     rois = jnp.asarray(rois)
     frame_lengths = jnp.asarray(frame_lengths)
-    ids, lens, conf = _greedy_conf_jit(cfg)(params, rois, frame_lengths)
+    ids, lens, conf, enc = _greedy_conf_jit(cfg)(params, rois, frame_lengths)
     ids, lens = np.asarray(ids), np.asarray(lens)
     out = [vocab.decode(ids[b, : lens[b]]) for b in range(ids.shape[0])]
     uncertain = np.asarray(conf) < margin
@@ -296,15 +336,18 @@ def transcribe_cascade(params, cfg: Config, rois, frame_lengths,
     idx = np.nonzero(uncertain)[0]
     if beam > 1 and idx.size:
         # pad the uncertain set to a bucket multiple by repeating the last
-        # clip: one compiled shape per bucket count, duplicates discarded
+        # clip: one compiled shape per bucket count, duplicates discarded.
+        # The rescore leg decodes FROM the greedy leg's encoder output —
+        # re-encoding the uncertain rows would redo work the greedy pass
+        # already paid for (encode is a pure function of its inputs).
         n = idx.size
         take = np.concatenate(
             [idx, np.repeat(idx[-1:], -n % rescore_bucket)])
-        sub = transcribe(params, cfg, rois[take], frame_lengths[take],
-                         beam=beam, vocab=vocab, lm_weight=lm_weight,
-                         use_lexicon=use_lexicon)
+        sids, slens = _decode_from_enc_jit(cfg, beam, lm_weight, use_lexicon)(
+            params, enc[take], frame_lengths[take])
+        sids, slens = np.asarray(sids), np.asarray(slens)
         for k, b in enumerate(idx):
-            out[int(b)] = sub[k]
+            out[int(b)] = vocab.decode(sids[k, : slens[k]])
     if return_flags:
         return out, uncertain
     return out, int(idx.size)

@@ -207,11 +207,39 @@ def decoder_init_cache(p, batch: int, max_len: int, heads: int,
     }
 
 
-def decoder_step(p, cache, token, enc, enc_lengths, heads: int, dtype=None):
+def decoder_cross_kv(p, enc, heads: int, dtype=None):
+    """Precompute per-layer cross-attention K/V from the encoder output.
+
+    Cross K/V depend only on ``enc``, which is constant across decode steps
+    — recomputing them inside the step loop was the decode path's FLOP hog
+    (per step, per layer: two [B, T, D] x [D, D] projections; at B*W=256,
+    T=64, D=256, 4 layers that is ~17 GFLOP per step, ~50x the step's
+    useful work). Hoisting them out makes each step O(T*D) instead of
+    O(T*D^2). Returns a list of {"k", "v"} leaves [B, T, H, Dh]; rows are
+    identical across the beams of one sample (enc is tiled by repeat), so
+    beam search never needs to gather them — pass as a closed-over constant.
+    """
+    B, T, D = enc.shape
+    dh = D // heads
+    out = []
+    for lp in p["layers"]:
+        cp = lp["cross"]
+        out.append({
+            "k": nn.dense(cp["k"], enc, dtype).reshape(B, T, heads, dh),
+            "v": nn.dense(cp["v"], enc, dtype).reshape(B, T, heads, dh),
+        })
+    return out
+
+
+def decoder_step(p, cache, token, enc, enc_lengths, heads: int, dtype=None,
+                 cross_kv=None):
     """Incremental single step: token [B] -> (cache', logits [B, V]).
 
-    Cross-attention K/V are recomputed per step (cheap at these enc dims);
-    self-attention reads/writes the KV cache at the current position.
+    Self-attention reads/writes the KV cache at the current position.
+    ``cross_kv`` (from :func:`decoder_cross_kv`) supplies precomputed
+    cross-attention K/V; when None they are recomputed from ``enc`` each
+    step (identical arithmetic, V-fold more FLOPs — kept for callers
+    without a hoisting site).
     """
     B = token.shape[0]
     T = enc.shape[1]
@@ -229,7 +257,7 @@ def decoder_step(p, cache, token, enc, enc_lengths, heads: int, dtype=None):
     new_layers = []
     pos_mask = (jnp.arange(maxlen) <= pos)[None, None, None, :]  # [1,1,1,maxlen]
 
-    for lp, lc in zip(p["layers"], cache["layers"]):
+    for li, (lp, lc) in enumerate(zip(p["layers"], cache["layers"])):
         hn = nn.layernorm(lp["ln1"], h)                    # [B, 1, D]
         sp = lp["self"]
         q = nn.dense(sp["q"], hn, dtype).reshape(B, 1, heads, dh)
@@ -249,8 +277,20 @@ def decoder_step(p, cache, token, enc, enc_lengths, heads: int, dtype=None):
         w = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         attn = jnp.einsum("bhqk,bkhd->bqhd", w, v_all.astype(q.dtype))
         h = h + nn.dense(sp["o"], attn.reshape(B, 1, dim), dtype)
-        h = h + mha(lp["cross"], nn.layernorm(lp["ln2"], h), enc, enc_mask,
-                    heads, dtype)
+        if cross_kv is None:
+            h = h + mha(lp["cross"], nn.layernorm(lp["ln2"], h), enc,
+                        enc_mask, heads, dtype)
+        else:
+            cp = lp["cross"]
+            hn2 = nn.layernorm(lp["ln2"], h)
+            qc = nn.dense(cp["q"], hn2, dtype).reshape(B, 1, heads, dh)
+            kc, vc = cross_kv[li]["k"], cross_kv[li]["v"]
+            sc = jnp.einsum("bqhd,bkhd->bhqk", qc, kc.astype(qc.dtype))
+            sc = sc / math.sqrt(dh)
+            sc = jnp.where(enc_mask, sc.astype(jnp.float32), -1e30)
+            wc = jax.nn.softmax(sc, axis=-1).astype(qc.dtype)
+            ac = jnp.einsum("bhqk,bkhd->bqhd", wc, vc.astype(qc.dtype))
+            h = h + nn.dense(cp["o"], ac.reshape(B, 1, dim), dtype)
         h = h + mlp(lp["mlp"], nn.layernorm(lp["ln3"], h), dtype)
 
     h = nn.layernorm(p["ln_out"], h)

@@ -106,10 +106,14 @@ def main(argv):
     def att_only(p, enc_t, len_t):
         cache = tf.decoder_init_cache(p, BW, L, cfg.model.tf_heads,
                                       jnp.float32)
+        # match the production step (infer._attention_step_fn): cross K/V
+        # hoisted out of the loop
+        ckv = tf.decoder_cross_kv(p, enc_t, cfg.model.tf_heads, dtype)
 
         def body(c, tok):
             c2, logits = tf.decoder_step(p, c, tok, enc_t, len_t,
-                                         cfg.model.tf_heads, dtype)
+                                         cfg.model.tf_heads, dtype,
+                                         cross_kv=ckv)
             return c2, logits.max()
 
         _, outs = jax.lax.scan(body, cache,
