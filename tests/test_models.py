@@ -267,3 +267,32 @@ def test_framewise_norm_pad_invariance(frontend):
                                                framewise_norm=False))
     a0, b0 = logp(16, cfg_off), logp(48, cfg_off)
     assert np.abs(a0 - b0).max() > 1e-6
+
+
+def test_decoder_cross_kv_hoist_parity():
+    """Hoisted cross-attention K/V (decoder_cross_kv) must be bit-identical
+    to the per-step recompute path — the decode-throughput overhaul
+    (BASELINE.md round-4 "Decode-path overhaul" row) must not change a
+    single logit."""
+    from lipreading_tpu.models import transformer as tf
+
+    cfg = tiny(preset("transformer-attn"))
+    m = cfg.model
+    p = tf.decoder_init(jax.random.PRNGKey(7), m)
+    B, T, L = 3, 12, 6
+    enc = jax.random.normal(jax.random.PRNGKey(8), (B, T, m.tf_dim))
+    lens = jnp.asarray([12, 9, 5], jnp.int32)
+    toks = jax.random.randint(jax.random.PRNGKey(9), (L, B), 3, m.vocab_size)
+
+    def run(use_ckv):
+        cache = tf.decoder_init_cache(p, B, L, m.tf_heads, jnp.float32)
+        ckv = tf.decoder_cross_kv(p, enc, m.tf_heads) if use_ckv else None
+        outs = []
+        for t in range(L):
+            cache, lg = tf.decoder_step(p, cache, toks[t], enc, lens,
+                                        m.tf_heads, cross_kv=ckv)
+            outs.append(lg)
+        return jnp.stack(outs)
+
+    a, b = run(False), run(True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
