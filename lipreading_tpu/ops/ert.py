@@ -44,6 +44,7 @@ def predict_batch(
     m: dict[str, jnp.ndarray],
     gray: jnp.ndarray,
     boxes: jnp.ndarray,
+    gather: str = "auto",
 ) -> jnp.ndarray:
     """[B, H, W] gray + [B, 3] float boxes (x0, y0, size) -> [B, 68, 2] px.
 
@@ -61,14 +62,35 @@ def predict_batch(
 
     This is ~10x faster than the gather-per-level formulation on v5e (the
     cascade went from the pipeline bottleneck to noise).
+
+    `gather` picks how step 1 reads the pool pixels:
+
+    - "take": jnp.take_along_axis on the flat image. TPU lowers this to a
+      serialized dynamic-gather that the round-4 roofline measured at 78M
+      elem/s — the whole cascade sits within 10% of that synthetic gather
+      floor (scripts/roofline_preprocess.py), i.e. the stage is bounded by
+      this one line.
+    - "matmul": one-hot row/column selectors contracted against the image
+      (vals[b,p] = sum_h sum_w [h==py][w==px] * gray[b,h,w]), which rides
+      the MXU instead. Every inner sum has exactly one nonzero term, so
+      under precision=HIGHEST (exact fp32 multiplies; adding zeros is
+      exact in any order) the result is BIT-IDENTICAL to "take" — the
+      golden/oracle contract is preserved. Test-pinned in
+      tests/test_ert.py::test_gather_modes_bit_identical.
+    - "auto" (default): "matmul" on TPU, "take" elsewhere (the matmul form
+      trades ~13 GFLOP/stage at B=2048 for the gather, a clear win on the
+      MXU and a clear loss on a CPU core).
     """
     B, H, W = gray.shape
     S, P = m["anchors"].shape
     K, nn = m["feat1"].shape[1:]
     nl = nn + 1
     depth = int(np.log2(nl))
+    if gather == "auto":
+        gather = "matmul" if jax.default_backend() == "tpu" else "take"
 
-    gray_flat = gray.reshape(B, H * W).astype(jnp.float32)
+    gray_f = gray.astype(jnp.float32)
+    gray_flat = gray_f.reshape(B, H * W)
     origin = boxes[:, :2].astype(jnp.float32)[:, None, :]       # [B, 1, 2]
     size = boxes[:, 2].astype(jnp.float32)[:, None, None]       # [B, 1, 1]
     shape = jnp.broadcast_to(m["mean_shape"][None], (B, 68, 2)).astype(jnp.float32)
@@ -78,7 +100,21 @@ def predict_batch(
         pos = (shape[:, m["anchors"][s]] + m["offsets"][s][None]) * size + origin
         px = jnp.clip(jnp.floor(pos[..., 0] + 0.5).astype(jnp.int32), 0, W - 1)
         py = jnp.clip(jnp.floor(pos[..., 1] + 0.5).astype(jnp.int32), 0, H - 1)
-        vals = jnp.take_along_axis(gray_flat, py * W + px, axis=1)  # [B, P]
+        if gather == "matmul":
+            # one-hot two-step contraction (bit-exact vs take: one nonzero
+            # term per sum, fp32 multiplies under HIGHEST)
+            oy = (py[..., None] == jnp.arange(H, dtype=jnp.int32)).astype(
+                jnp.float32)                                     # [B, P, H]
+            ox = (px[..., None] == jnp.arange(W, dtype=jnp.int32)).astype(
+                jnp.float32)                                     # [B, P, W]
+            rows = jnp.einsum(
+                "bph,bhw->bpw", oy, gray_f,
+                precision=jax.lax.Precision.HIGHEST)             # [B, P, W]
+            vals = jnp.einsum(
+                "bpw,bpw->bp", rows, ox,
+                precision=jax.lax.Precision.HIGHEST)             # [B, P]
+        else:
+            vals = jnp.take_along_axis(gray_flat, py * W + px, axis=1)
 
         # 2. all split comparisons at once (static feature indices)
         f1 = m["feat1"][s].reshape(-1)                           # [K*Nn] const

@@ -134,10 +134,16 @@ def main(argv):
         # read luma; write 64x64 resize + conv trunk activations
         "detector": H * W * f4 + (64 * 64 + 32 * 32 * 8 + 16 * 16 * 16
                                   + 8 * 8 * 32 + 4) * f4,
-        # per stage: pool gather touches P cache sectors (32 B each,
-        # 4 B useful), split values/bits/onehot/delta intermediates;
+        # take mode, per stage: pool gather touches P cache sectors (32 B
+        # each, 4 B useful), split values/bits/onehot/delta intermediates;
         # leaves weights ([K*nl,136] f32 x S) amortize over the batch
-        "ert": S * (P * 32.0 + (2 * K * (nl - 1) + K * nl + 136 + P) * f4)
+        "ert_take": S * (P * 32.0 + (2 * K * (nl - 1) + K * nl + 136 + P) * f4)
+        + S * K * nl * 136 * f4 / n,
+        # matmul mode (TPU default since round 4), lower bound: the image
+        # is re-read by the one-hot contraction each stage; the [P,H]/[P,W]
+        # selectors and [P,W] rows partially fuse, so real traffic sits
+        # between this and +3*P*(H+W) per stage
+        "ert_matmul": S * (H * W * f4 + P * f4)
         + S * K * nl * 136 * f4 / n,
         # Pallas path: interp weights built in VMEM (no HBM traffic);
         # read luma, write ROI
@@ -150,7 +156,11 @@ def main(argv):
         "detector": 2.0 * 64 * H * W + 2.0 * 64 * W * 64
         + 2.0 * 32 * 32 * 9 * 8 + 2.0 * 16 * 16 * 9 * 8 * 16
         + 2.0 * 8 * 8 * 9 * 16 * 32 + 2.0 * 8 * 8 * 32 * 4,
-        "ert": S * (2.0 * K * nl * 136),
+        "ert_take": S * (2.0 * K * nl * 136),
+        # matmul mode adds the one-hot contractions: bph,bhw->bpw + the
+        # [B,P,W] reduce (2*P*H*W + 2*P*W per frame per stage)
+        "ert_matmul": S * (2.0 * K * nl * 136 + 2.0 * P * H * W
+                           + 2.0 * P * W),
         "roi_pallas": 2.0 * R * H * W + 2.0 * R * W * R,
         "roi_xla": 2.0 * R * H * W + 2.0 * R * W * R,
     }
@@ -194,8 +204,10 @@ def main(argv):
     # params pytree as the perturbed operand (first leaf, tiny CoW)
     add("detector", chained_sec(
         lambda d, g: detect(d, g), (det, gray), 0))
-    add("ert", chained_sec(
-        lambda g, b: predict_batch(ert, g, b), (gray, boxes), 1))
+    for mode in ("take", "matmul"):
+        add(f"ert_{mode}", chained_sec(
+            lambda g, b, _m=mode: predict_batch(ert, g, b, gather=_m),
+            (gray, boxes), 1))
     add("roi_pallas", chained_sec(
         lambda g, b: roi_ops.sample_rois_pallas(g, b, R), (gray, mouth), 1))
     add("roi_xla", chained_sec(

@@ -81,6 +81,22 @@ def test_ert_parity_random_weights(gray_np):
     np.testing.assert_allclose(got, want, atol=1e-3)
 
 
+def test_ert_gather_modes_bit_identical(gray_np):
+    """The MXU one-hot contraction ("matmul", the TPU default since round
+    4 — the roofline showed take_along_axis bounded the whole cascade at
+    its 78M elem/s gather floor) must be BIT-identical to the take path:
+    every inner sum has exactly one nonzero term and multiplies are exact
+    fp32 under precision=HIGHEST, so no tolerance is needed."""
+    model = oert.random_ert(1)
+    boxes = np.tile(np.asarray([[18.0, 22.0, 118.0]], np.float32), (len(gray_np), 1))
+    mj = dert.model_to_jax(model)
+    a = np.asarray(dert.predict_batch(mj, jnp.asarray(gray_np),
+                                      jnp.asarray(boxes), gather="take"))
+    b = np.asarray(dert.predict_batch(mj, jnp.asarray(gray_np),
+                                      jnp.asarray(boxes), gather="matmul"))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_ert_parity_trained(assets, gray_np):
     det, ert = assets
     boxes = np.stack([odet.detect(det, g) for g in gray_np]).astype(np.float32)
