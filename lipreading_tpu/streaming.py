@@ -245,6 +245,20 @@ class StreamingTranscriber:
 
             self._beam_path = _beam_path
 
+        # segment-final quality decode (round 4): at a flush (shot
+        # boundary) or finish() — the two latency-free points — decode the
+        # uncommitted suffix with the FULL joint CTC/attention beam
+        # instead of the CTC-only prefix beam. The live/commit paths stay
+        # CTC (cheap, incremental); hybrid models recover batch-decode
+        # quality on every segment that fits the window (measured: the
+        # styled 2-clip stream ladder's residual errors were all
+        # CTC-vs-joint gaps on the final segment, scripts/stream_eval.py).
+        self._segment_decode = None
+        if beam > 1 and cfg.decoder == "hybrid":
+            from lipreading_tpu.infer import _decode_jit
+
+            self._segment_decode = _decode_jit(cfg, beam, lm_weight)
+
     def feed(self, frames: np.ndarray) -> str:
         """Append [N, H, W, 3] uint8 frames; returns the current transcript.
 
@@ -264,8 +278,9 @@ class StreamingTranscriber:
             rois, valid, self._track_state = self._pre_tracked(
                 jnp.asarray(frames), *self._track_state
             )
-            keep = np.asarray(valid)[:n]
-            rois_np = np.asarray(rois)[:n]
+            # writable copies: the cut re-acquire path overwrites [i:n]
+            keep = np.array(np.asarray(valid)[:n])
+            rois_np = np.array(np.asarray(rois)[:n])
             cut_d = None
             if self.cut_flush > 0:
                 from lipreading_tpu.infer import frame_signature
@@ -293,8 +308,28 @@ class StreamingTranscriber:
                         if self._buf:
                             self._flush()
                         self._cut_hist.clear()
-                    else:
-                        self._cut_hist.append(d)
+                        # RE-ACQUIRE the track from the cut frame: the
+                        # chunk was preprocessed with state carried from
+                        # the previous shot, so the new face's first
+                        # frames wear the old track's smoothed box
+                        # (measured: early-segment crops drift enough to
+                        # corrupt the first words; scripts/stream_eval.py
+                        # stream 33201). Re-run the tracked preprocess on
+                        # frames[i:] with fresh state — same padded chunk
+                        # shape, so no new compile.
+                        rest = frames[i:n]
+                        pad_to = frames.shape[0]  # reuse the chunk's
+                        if rest.shape[0] < pad_to:  # compiled shape
+                            rest = np.concatenate(
+                                [rest, np.repeat(rest[-1:],
+                                                 pad_to - rest.shape[0],
+                                                 axis=0)])
+                        fresh = (jnp.zeros((1,), bool),
+                                 jnp.zeros((1, 3), jnp.float32))
+                        r2, v2, self._track_state = self._pre_tracked(
+                            jnp.asarray(rest), *fresh)
+                        rois_np[i:n] = np.asarray(r2)[: n - i]
+                        keep[i:n] = np.asarray(v2)[: n - i]
                 if not keep[i]:
                     self._gap += 1
                     continue
@@ -368,11 +403,34 @@ class StreamingTranscriber:
         del self._buf[: cut - keep]
         self._ctx = keep
 
+    def _segment_text(self) -> str | None:
+        """Joint-beam decode of the uncommitted buffer suffix (None when
+        the model has no attention head / beam == 1 / nothing live)."""
+        live = len(self._buf) - self._ctx
+        if self._segment_decode is None or live <= 0:
+            return None
+        seg = np.stack(self._buf[self._ctx:])
+        T = seg.shape[0]
+        fit = [b for b in self.cfg.data.time_buckets if b >= T]
+        W = fit[0] if fit else -(-T // 16) * 16   # bounded compile count
+        if T < W:
+            seg = np.pad(seg, ((0, W - T), (0, 0), (0, 0)))
+        ids, lens = self._segment_decode(
+            self.params, jnp.asarray(seg[None]),
+            jnp.asarray([T], np.int32))
+        return self.vocab.decode(np.asarray(ids)[0, : int(np.asarray(lens)[0])])
+
     def _flush(self) -> None:
         """Shot boundary (gap_flush): decode and commit the ENTIRE buffer,
         then reset so the next segment never attends across the cut."""
-        self._redecode()
-        text = self.hypothesis
+        while len(self._buf) > self.window:
+            self._commit_from_window()
+        tail = self._segment_text()
+        if tail is not None:
+            text = self.committed + tail
+        else:
+            self._redecode()
+            text = self.hypothesis
         if text and not text.endswith(" "):
             text += " "                     # segment boundary = word boundary
         self.committed = text
@@ -401,8 +459,15 @@ class StreamingTranscriber:
         self.hypothesis = self.committed + tail
 
     def finish(self) -> str:
-        """Flush: commit anything over-window, decode the remaining tail."""
+        """Flush: commit anything over-window, decode the remaining tail
+        (joint beam for hybrid models — see _segment_text)."""
         if self._buf:
-            self._redecode()
+            while len(self._buf) > self.window:
+                self._commit_from_window()
+            tail = self._segment_text()
+            if tail is not None:
+                self.hypothesis = self.committed + tail
+            else:
+                self._redecode()
         self.hypothesis = self.hypothesis.rstrip()
         return self.hypothesis
