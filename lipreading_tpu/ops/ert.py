@@ -76,7 +76,8 @@ def predict_batch(
       under precision=HIGHEST (exact fp32 multiplies; adding zeros is
       exact in any order) the result is BIT-IDENTICAL to "take" — the
       golden/oracle contract is preserved. Test-pinned in
-      tests/test_ert.py::test_gather_modes_bit_identical.
+      tests/test_parity.py::test_ert_gather_modes_bit_identical (CPU) and
+      on the real chip by scripts/tpu_checks.py (gather_bit_identity).
     - "auto" (default): "matmul" on TPU, "take" elsewhere (the matmul form
       trades ~13 GFLOP/stage at B=2048 for the gather, a clear win on the
       MXU and a clear loss on a CPU core).

@@ -123,6 +123,7 @@ class StreamingTranscriber:
 
         self._cut_hist: deque = deque(maxlen=50)  # within-shot sig diffs
         self._prev_sig: np.ndarray | None = None  # last frame's signature
+        self.cut_events = 0                # hard-cut flushes fired (observable)
 
         self._tracked = tracked
         if tracked:
@@ -301,10 +302,17 @@ class StreamingTranscriber:
                     # business (a 5-frame dropout must stay a flicker, not
                     # force two mid-word flushes).
                     d = float(cut_d[i])
-                    if len(self._cut_hist) >= 8 and d > max(
+                    is_cut = len(self._cut_hist) >= 8 and d > max(
                         self.cut_min,
                         self.cut_flush * float(np.median(self._cut_hist)),
-                    ):
+                    )
+                    if not is_cut:
+                        # within-shot diff: feed the running median. The cut
+                        # frame's own diff is the jump, not within-shot, so
+                        # it never enters the history.
+                        self._cut_hist.append(d)
+                    if is_cut:
+                        self.cut_events += 1
                         if self._buf:
                             self._flush()
                         self._cut_hist.clear()
@@ -335,6 +343,7 @@ class StreamingTranscriber:
                     continue
                 if 0 < self.gap_flush <= self._gap and self._buf:
                     self._flush()             # shot boundary: reset context
+                    self._cut_hist.clear()    # new shot, new diff statistics
                 self._gap = 0
                 self._buf.append(rois_np[i])
                 added += 1

@@ -86,7 +86,13 @@ def test_ert_gather_modes_bit_identical(gray_np):
     4 — the roofline showed take_along_axis bounded the whole cascade at
     its 78M elem/s gather floor) must be BIT-identical to the take path:
     every inner sum has exactly one nonzero term and multiplies are exact
-    fp32 under precision=HIGHEST, so no tolerance is needed."""
+    fp32 under precision=HIGHEST, so no tolerance is needed.
+
+    LIMITATION (ADVICE r4): on the CPU mesh precision=HIGHEST is plain
+    fp32, so this equality is the easy case. The claim that matters —
+    bit-identity under the TPU's bf16-decomposed HIGHEST, where 'matmul'
+    is actually selected — is exercised on the real chip by
+    scripts/tpu_checks.py (gather_bit_identity check)."""
     model = oert.random_ert(1)
     boxes = np.tile(np.asarray([[18.0, 22.0, 118.0]], np.float32), (len(gray_np), 1))
     mj = dert.model_to_jax(model)

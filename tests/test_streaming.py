@@ -470,9 +470,14 @@ def test_hard_cut_splits_without_detection_gap(assets):
                                   gap_flush=25, cut_flush=cut)
         for lo in range(0, frames.shape[0], 16):
             st.feed(frames[lo:lo + 16])
-        return st.finish()
+        return st.finish(), st
 
-    flushed, unflushed = run(8.0), run(0.0)
+    (flushed, st_f), (unflushed, st_u) = run(8.0), run(0.0)
+    # the flush must OBSERVABLY fire (ADVICE r4: an inert detector passed
+    # the old <=-only check vacuously): exactly one hard-cut event at the
+    # splice with cut_flush on, zero with it off.
+    assert st_f.cut_events == 1, st_f.cut_events
+    assert st_u.cut_events == 0, st_u.cut_events
     e_f, e_u = cer(flushed, truth), cer(unflushed, truth)
     assert e_f <= e_u + 1e-9, (flushed, unflushed, truth)
     assert e_f < 0.12, (flushed, truth)
