@@ -244,6 +244,177 @@ class VideoDecodePool:
         self.close()
 
 
+def _decode_frames(payload):
+    """Default shm-pool work fn: (path, max_frames) -> [T, H, W, 3] u8."""
+    from lipreading_tpu.data.video import decode_video
+
+    path, max_frames = payload
+    frames, _ = decode_video(path, max_frames=max_frames)
+    return frames
+
+
+def _synth_frames(payload):
+    """Null work fn (bench_ingest): synthesize the clip without a codec, so
+    the measured rate is pure ring transport — the shm analogue of the
+    plain pool's null_ipc_fps."""
+    import numpy as np
+
+    t, h, w = payload
+    return np.full((t, h, w, 3), 127, np.uint8)
+
+
+def _shm_worker(jobs, results, free, shm_names, slot_bytes, work_fn):
+    """Shm-ring pool worker: run ``work_fn(payload)`` and write the frames
+    into a shared-memory slot; ship only (seq, slot, shape) over the pipe.
+    Imports stay inside (no jax; spawn children must never grab the TPU)."""
+    import numpy as np
+    from multiprocessing import shared_memory
+
+    # NOTE on tracking (3.12, no track= param): spawn children inherit the
+    # parent's resource-tracker process, so the attach-side register here is
+    # an idempotent set-add of a name the parent already owns — no
+    # child-exit unlink happens, and unregistering here would strip the
+    # PARENT's registration (KeyError spam at unlink). Leave it alone.
+    shms = [shared_memory.SharedMemory(name=n) for n in shm_names]
+    try:
+        while True:
+            job = jobs.get()
+            if job is None:
+                return
+            seq, payload = job
+            try:
+                frames = work_fn(payload)
+                if frames.nbytes > slot_bytes:
+                    raise ValueError(
+                        f"decoded clip {frames.nbytes} B exceeds the ring "
+                        f"slot ({slot_bytes} B); pass max_frames or grow "
+                        f"slot_frames")
+                slot = free.get()
+                np.ndarray(frames.shape, np.uint8,
+                           buffer=shms[slot].buf)[:] = frames
+                results.put((seq, slot, frames.shape, None))
+            except Exception as e:  # surface at the parent's next()
+                results.put((seq, -1, None, repr(e)))
+    finally:
+        for s in shms:
+            s.close()
+
+
+class ShmVideoDecodePool:
+    """Shared-memory decode ring: the VideoDecodePool with the frames taken
+    OFF the pipe (VERDICT r4 missing #3).
+
+    bench_ingest.py measured the plain pool's structural ceiling on this
+    box: the parent drains pickle+pipe at ~4,779 frames/s (~350 MB/s) no
+    matter how many workers decode — ~30x below patchify-train consumption
+    (147.6k fps). Here workers decode straight into preallocated
+    ``multiprocessing.shared_memory`` slots and only (seq, slot, shape)
+    tuples ride the pipe, so the parent's per-frame cost is a memcpy out of
+    shm (GB/s) — or nothing at all with ``copy=False``, where the yielded
+    array VIEWS the slot and stays valid until the next ``next()`` (the
+    slot is recycled then; batch assemblers that copy immediately, like
+    VideoFileIterator, can use it safely).
+
+    Slot count bounds memory and provides backpressure: workers block on
+    the free-slot queue when the consumer lags. Same ``imap`` contract as
+    VideoDecodePool (order-preserving), so VideoFileIterator takes either.
+    """
+
+    def __init__(self, workers: int | None = None, slot_frames: int = 256,
+                 frame_hw: tuple[int, int] = (160, 160),
+                 slots: int | None = None, work_fn=_decode_frames):
+        import multiprocessing as mp
+        import os
+
+        self.workers = workers or max(1, (os.cpu_count() or 1) - 1)
+        self.slot_bytes = slot_frames * frame_hw[0] * frame_hw[1] * 3
+        self.slots = slots if slots is not None else self.workers + 2
+        ctx = mp.get_context("spawn")
+        from multiprocessing import shared_memory
+
+        self._shm = [shared_memory.SharedMemory(create=True,
+                                                size=self.slot_bytes)
+                     for _ in range(self.slots)]
+        self._jobs = ctx.Queue()
+        self._results = ctx.Queue()
+        self._free = ctx.Queue()
+        for i in range(self.slots):
+            self._free.put(i)
+        names = [s.name for s in self._shm]
+        self._procs = [
+            ctx.Process(target=_shm_worker,
+                        args=(self._jobs, self._results, self._free,
+                              names, self.slot_bytes, work_fn), daemon=True)
+            for _ in range(self.workers)
+        ]
+        for p in self._procs:
+            p.start()
+        self._closed = False
+
+    def imap(self, paths, max_frames: int | None = None, copy: bool = True):
+        """Yield decoded [T, H, W, 3] uint8 stacks in input order.
+
+        ``copy=False`` yields zero-copy VIEWS into the ring; each view is
+        valid only until the next iteration (its slot is recycled then).
+        """
+        return self.imap_jobs([(p, max_frames) for p in paths], copy=copy)
+
+    def imap_jobs(self, payloads, copy: bool = True):
+        """Like imap but over raw work_fn payloads (bench/null modes)."""
+        import numpy as np
+
+        paths = list(payloads)
+        for seq, p in enumerate(paths):
+            self._jobs.put((seq, p))
+
+        def _drain():
+            held = {}
+            prev_slot = -1
+            for want in range(len(paths)):
+                while want not in held:
+                    seq, slot, shape, err = self._results.get()
+                    held[seq] = (slot, shape, err)
+                slot, shape, err = held.pop(want)
+                if err is not None:
+                    raise RuntimeError(f"decode failed for {paths[want]}: "
+                                       f"{err}")
+                arr = np.ndarray(shape, np.uint8, buffer=self._shm[slot].buf)
+                if copy:
+                    arr = arr.copy()
+                    self._free.put(slot)
+                    yield arr
+                else:
+                    if prev_slot >= 0:
+                        self._free.put(prev_slot)
+                    prev_slot = slot
+                    yield arr
+            if prev_slot >= 0:
+                self._free.put(prev_slot)
+
+        return _drain()
+
+    def close(self):
+        if self._closed:
+            return
+        self._closed = True
+        for _ in self._procs:
+            self._jobs.put(None)
+        for p in self._procs:
+            p.join(timeout=5)
+            if p.is_alive():
+                p.terminate()
+                p.join()
+        for s in self._shm:
+            s.close()
+            s.unlink()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class VideoFileIterator:
     """Resumable iterator yielding VideoBatches decoded from mp4 files on
     disk through a VideoDecodePool — the real-video analogue of
@@ -276,7 +447,12 @@ class VideoFileIterator:
         order = order[:n]
         paths = [self.samples[i][0] for i in order]
         bucket = max(self.cfg.time_buckets)
-        decoded = self.pool.imap(paths, max_frames=bucket)
+        if isinstance(self.pool, ShmVideoDecodePool):
+            # zero-copy views are safe here: each clip is copied into the
+            # batch array below before the next ring slot is requested
+            decoded = self.pool.imap(paths, max_frames=bucket, copy=False)
+        else:
+            decoded = self.pool.imap(paths, max_frames=bucket)
         B, L = self.batch_size, self.cfg.max_chars
         H, W = self.cfg.frame_height, self.cfg.frame_width
         for lo in range(0, n, B):
