@@ -481,3 +481,50 @@ def test_hard_cut_splits_without_detection_gap(assets):
     e_f, e_u = cer(flushed, truth), cer(unflushed, truth)
     assert e_f <= e_u + 1e-9, (flushed, unflushed, truth)
     assert e_f < 0.12, (flushed, truth)
+
+
+def test_styled_stream_ladder_pin():
+    """VERDICT r4 #2 pin: the best reproducible styled stream from the
+    round-5 TPU ladder (scripts/stream_eval.py, BASELINE.md round-5 row).
+
+    Stream (33001, 33002) at variation 0.6 behind the robust stack: plain
+    streaming plateaus at CER 0.2000 while tracked + cut_flush decodes the
+    EXACT transcript (0.0000) — the hard-cut detector splits encoder
+    context at the styled-clip boundary. CPU mesh reproduces the TPU run
+    bit-for-bit on this stream (both 0.0000); only the tracked leg runs
+    here to keep suite cost down, pinned to exactness plus an observable
+    cut event so an inert detector cannot pass vacuously (ADVICE r4).
+    """
+    from lipreading_tpu.fixtures import make_clip
+    from lipreading_tpu.metrics import cer
+    from lipreading_tpu.ops.detector import params_to_jax
+    from lipreading_tpu.ops.ert import model_to_jax
+    from lipreading_tpu.preproc_training import (
+        load_assets,
+        load_presence,
+        load_release_model,
+    )
+    from lipreading_tpu.streaming import StreamingTranscriber
+
+    rel = load_release_model("transformer_hybrid_universal4")
+    presence = load_presence(variant="robust")
+    if rel is None or presence is None:
+        pytest.skip("universal4 release or robust presence head missing")
+    params, cfg = rel
+    det_np, ert_np = load_assets(variant="robust")
+    det, ert = params_to_jax(det_np), model_to_jax(ert_np)
+    presence_np = {k: np.asarray(v) for k, v in presence.items()}
+
+    clips = [make_clip(s, cfg.data, variation=0.6) for s in (33001, 33002)]
+    frames = np.concatenate([c.frames for c in clips])
+    truth = " ".join(c.text for c in clips)
+
+    st = StreamingTranscriber(params, cfg, det, ert, window=64,
+                              decode_every=12, chunk_bucket=8, beam=4,
+                              lm_weight=0.4, tracked=True,
+                              presence=presence_np)
+    for lo in range(0, frames.shape[0], 8):
+        st.feed(frames[lo:lo + 8])
+    hyp = st.finish()
+    assert st.cut_events >= 1, st.cut_events
+    assert cer(hyp, truth) == 0.0, (hyp, truth)
