@@ -252,8 +252,9 @@ class StreamingTranscriber:
         # instead of the CTC-only prefix beam. The live/commit paths stay
         # CTC (cheap, incremental); hybrid models recover batch-decode
         # quality on every segment that fits the window (measured: the
-        # styled 2-clip stream ladder's residual errors were all
-        # CTC-vs-joint gaps on the final segment, scripts/stream_eval.py).
+        # round-5 styled stream ladder — scripts/stream_eval.py, TPU,
+        # BASELINE.md round-5 row — lands at mean CER 0.0101 with 2 of 3
+        # streams exact, vs the 0.15-0.17 plain-streaming plateau).
         self._segment_decode = None
         if beam > 1 and cfg.decoder == "hybrid":
             from lipreading_tpu.infer import _decode_jit
@@ -319,10 +320,11 @@ class StreamingTranscriber:
                         # RE-ACQUIRE the track from the cut frame: the
                         # chunk was preprocessed with state carried from
                         # the previous shot, so the new face's first
-                        # frames wear the old track's smoothed box
-                        # (measured: early-segment crops drift enough to
-                        # corrupt the first words; scripts/stream_eval.py
-                        # stream 33201). Re-run the tracked preprocess on
+                        # frames wear the old track's smoothed box —
+                        # early-segment crops otherwise drift (residual
+                        # errors on the stream ladder's 33201 stream,
+                        # BASELINE.md round-5 row, are within-shot, not
+                        # boundary artifacts). Re-run tracked preprocess on
                         # frames[i:] with fresh state — same padded chunk
                         # shape, so no new compile.
                         rest = frames[i:n]
