@@ -22,7 +22,10 @@ Exit code 0 = all checks pass; prints one line per check.
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
