@@ -306,6 +306,28 @@ def main():
     except Exception as e:
         print(f"# universal deployment bench skipped: {e}", file=sys.stderr)
 
+    # sustained serving (round 5): the deployment stack as one overlapped
+    # loop — mp4 files -> shm decode ring -> Prefetcher H2D -> tracked conv
+    # preprocess -> cascade decode (scripts/serve.py). Unlike the sections
+    # above (device-resident ROIs), this number includes host decode, batch
+    # assembly, and H2D: it is what a deployer gets from files on disk.
+    serving_fps = serving_p50 = serving_cer = None
+    try:
+        import importlib.util as _ilu2
+
+        _sspec = _ilu2.spec_from_file_location(
+            "serve", os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "scripts", "serve.py"))
+        _sv = _ilu2.module_from_spec(_sspec)
+        _sspec.loader.exec_module(_sv)
+        srep = (_sv.serve(n_clips=6, B=2, bucket=64, beam=2) if smoke
+                else _sv.serve(n_clips=48, B=8, bucket=96))
+        serving_fps = srep.get("serving_sustained_fps")
+        serving_p50 = srep.get("latency_p50_ms")
+        serving_cer = srep.get("cer")
+    except Exception as e:
+        print(f"# serving bench skipped: {e}", file=sys.stderr)
+
     # train-step MFU (fwd+bwd, AdamW; device-resident batch at the B=64
     # knee). K steps run inside ONE jitted lax.fori_loop — immune to the
     # axon tunnel's dispatch-timing noise (CLAUDE.md measurement gotcha);
@@ -448,6 +470,9 @@ def main():
         "universal_rescored_frac": (round(universal_rescored_frac, 3)
                                     if universal_rescored_frac is not None
                                     else None),
+        "serving_sustained_fps": serving_fps,
+        "serving_latency_p50_ms": serving_p50,
+        "serving_cer": serving_cer,
         "train_step_fps": round(train_fps, 1) if train_fps else None,
         "train_step_mfu": train_mfu,
         "train_step_fps_conv3d": (round(train_fps_conv3d, 1)

@@ -165,12 +165,15 @@ class Prefetcher:
         self.thread = threading.Thread(target=self._fill, daemon=True)
         self.thread.start()
 
+    _DONE = object()  # end-of-stream sentinel: makes `for ... in pf` finite
+
     def _fill(self):
         try:
             for item in self.iterator:
                 if self._stop.is_set():
                     return
                 self.q.put((self.put_fn(item), item))
+            self.q.put(self._DONE)
         except Exception as e:  # surface worker errors at __next__
             self.q.put(e)
 
@@ -181,6 +184,8 @@ class Prefetcher:
         item = self.q.get()
         if isinstance(item, Exception):
             raise item
+        if item is self._DONE:
+            raise StopIteration
         return item  # (device_batch, host_batch)
 
     def close(self):

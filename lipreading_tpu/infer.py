@@ -46,8 +46,16 @@ def _attention_step_fn(params, cfg: Config, enc, enc_lengths, dtype):
         return state, step, None
     else:
         p = params["att_decoder"]
+        # cache rides the activation dtype: decoder_step computes K/V in
+        # ``dtype`` and downcasts cache reads back to it, so an fp32 cache
+        # under bf16 activations stores exact-bf16 values at 2x the bytes —
+        # pure waste on the per-step beam gather (the dominant HBM traffic
+        # of wide-batch beam decode; fp32->bf16 of an exact-bf16 value is
+        # exact, so this is bit-identical — pinned by
+        # test_kv_cache_dtype_decode_identity)
         cache = tf.decoder_init_cache(
-            p, B, cfg.train.max_decode_len, cfg.model.tf_heads, jnp.float32
+            p, B, cfg.train.max_decode_len, cfg.model.tf_heads,
+            dtype or jnp.float32
         )
         # hoist cross-attention K/V out of the step loop: constant across
         # steps, identical across the beams of a sample (enc tiled by

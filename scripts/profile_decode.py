@@ -105,7 +105,7 @@ def main(argv):
 
     def att_only(p, enc_t, len_t):
         cache = tf.decoder_init_cache(p, BW, L, cfg.model.tf_heads,
-                                      jnp.float32)
+                                      dtype)      # act-dtype cache (infer.py)
         # match the production step (infer._attention_step_fn): cross K/V
         # hoisted out of the loop
         ckv = tf.decoder_cross_kv(p, enc_t, cfg.model.tf_heads, dtype)

@@ -296,3 +296,36 @@ def test_decoder_cross_kv_hoist_parity():
 
     a, b = run(False), run(True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_kv_cache_dtype_decode_identity():
+    """A bf16 KV cache is bit-identical to an fp32 cache under bf16
+    activations: decoder_step computes K/V in the act dtype and downcasts
+    cache reads back to it, so the fp32 cache only ever held exact-bf16
+    values (fp32->bf16 of an exact-bf16 value is exact). infer.py therefore
+    allocates the cache in the activation dtype — half the per-step beam
+    gather traffic for zero arithmetic change. This pins the argument."""
+    from lipreading_tpu.models import transformer as tf
+
+    cfg = tiny(preset("transformer-attn"))
+    m = cfg.model
+    p = tf.decoder_init(jax.random.PRNGKey(17), m)
+    B, T, L = 3, 12, 8
+    enc = jax.random.normal(
+        jax.random.PRNGKey(18), (B, T, m.tf_dim)).astype(jnp.bfloat16)
+    lens = jnp.asarray([12, 9, 5], jnp.int32)
+    toks = jax.random.randint(jax.random.PRNGKey(19), (L, B), 3, m.vocab_size)
+    ckv = tf.decoder_cross_kv(p, enc, m.tf_heads, jnp.bfloat16)
+
+    def run(cache_dtype):
+        cache = tf.decoder_init_cache(p, B, L, m.tf_heads, cache_dtype)
+        outs = []
+        for t in range(L):
+            cache, lg = tf.decoder_step(p, cache, toks[t], enc, lens,
+                                        m.tf_heads, jnp.bfloat16,
+                                        cross_kv=ckv)
+            outs.append(lg)
+        return jnp.stack(outs)
+
+    a, b = run(jnp.float32), run(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -99,6 +99,17 @@ def test_prefetcher_propagates_errors():
     pf.close()
 
 
+def test_prefetcher_stops_at_exhaustion():
+    """`for ... in pf` must terminate when the source iterator is exhausted
+    (end-of-stream sentinel). Before the fix __next__ blocked forever on the
+    empty queue — callers that pulled a known count never saw it, but the
+    serving loop (scripts/serve.py) iterates to completion."""
+    pf = Prefetcher(iter(range(3)), lambda x: x * 10, depth=2)
+    got = [dev for dev, host in pf]
+    assert got == [0, 10, 20]
+    pf.close()
+
+
 def test_preprocess_padded_bounds_compiles(assets):
     """Ragged clip lengths through preprocess_padded must hit bucketed
     shapes — ONE compile per bucket, never one per distinct tail length
